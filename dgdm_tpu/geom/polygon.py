@@ -1,0 +1,125 @@
+"""Polygon mass properties and support sampling — the on-device replacement
+for the reference's V-HACD + MuJoCo inertia pipeline (``sim/sim_2d.py:26-71``,
+MuJoCo's mesh inertia). Everything is closed-form or static-shape masked, so
+object batches live as dense arrays in HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def polygon_area_centroid_inertia(
+    verts: np.ndarray,
+) -> Tuple[float, np.ndarray, float]:
+    """Exact signed area, centroid and second polar moment (about centroid,
+    per unit density, i.e. integral of r^2 dA) of a simple polygon."""
+    x, y = verts[:, 0], verts[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    cross = x * y1 - x1 * y
+    a = 0.5 * np.sum(cross)
+    cx = np.sum((x + x1) * cross) / (6.0 * a)
+    cy = np.sum((y + y1) * cross) / (6.0 * a)
+    ixx = np.sum((y * y + y * y1 + y1 * y1) * cross) / 12.0
+    iyy = np.sum((x * x + x * x1 + x1 * x1) * cross) / 12.0
+    i0 = ixx + iyy - (cx * cx + cy * cy) * a  # parallel axis to centroid
+    return float(a), np.array([cx, cy]), float(i0)
+
+
+def points_in_polygon(pts: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    """Vectorized crossing-number test. pts (P, 2), verts (N, 2) -> (P,) bool."""
+    x, y = pts[:, 0:1], pts[:, 1:2]                      # (P, 1)
+    vx, vy = verts[None, :, 0], verts[None, :, 1]        # (1, N)
+    vx1, vy1 = np.roll(verts[:, 0], -1)[None], np.roll(verts[:, 1], -1)[None]
+    cond = (vy > y) != (vy1 > y)
+    denom = np.where(vy1 - vy == 0.0, 1.0, vy1 - vy)
+    xint = vx + (y - vy) / denom * (vx1 - vx)
+    crossings = np.sum(cond & (x < xint), axis=1)
+    return (crossings % 2) == 1
+
+
+def support_points(
+    verts: np.ndarray, grid: int = 12
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Static-shape plane-contact support set: a ``grid x grid`` lattice over
+    the polygon bbox with per-point weights (inside-mask normalized to sum 1).
+    The weights approximate a uniform pressure distribution, which is what
+    MuJoCo's solver realizes for a flat-bottomed rigid body at rest.
+
+    Returns (pts (grid*grid, 2), weights (grid*grid,))."""
+    lo = verts.min(axis=0)
+    hi = verts.max(axis=0)
+    # cell centers so boundary cells are representative
+    gx = lo[0] + (hi[0] - lo[0]) * (np.arange(grid) + 0.5) / grid
+    gy = lo[1] + (hi[1] - lo[1]) * (np.arange(grid) + 0.5) / grid
+    xx, yy = np.meshgrid(gx, gy, indexing="ij")
+    pts = np.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)
+    inside = points_in_polygon(pts, verts)
+    if not inside.any():  # degenerate: fall back to centroid
+        _, c, _ = polygon_area_centroid_inertia(verts)
+        pts = np.tile(c, (grid * grid, 1))
+        w = np.full(grid * grid, 1.0 / (grid * grid))
+        return pts, w
+    w = inside.astype(np.float64)
+    return pts, w / w.sum()
+
+
+def ear_clip(verts: np.ndarray) -> np.ndarray:
+    """Ear-clipping triangulation of a simple CCW polygon. Host-side only
+    (used to build oracle collision meshes). Returns (T, 3) vertex indices."""
+    n = len(verts)
+    idx = list(range(n))
+    tris = []
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    guard = 0
+    while len(idx) > 3 and guard < 10 * n * n:
+        guard += 1
+        m = len(idx)
+        clipped = False
+        for k in range(m):
+            i0, i1, i2 = idx[(k - 1) % m], idx[k], idx[(k + 1) % m]
+            a, b, c = verts[i0], verts[i1], verts[i2]
+            if cross(a, b, c) <= 1e-16:
+                continue  # reflex or degenerate
+            # no other polygon vertex inside the candidate ear
+            others = [j for j in idx if j not in (i0, i1, i2)]
+            if others:
+                p = verts[others]
+                s0 = (b[0] - a[0]) * (p[:, 1] - a[1]) - (b[1] - a[1]) * (p[:, 0] - a[0])
+                s1 = (c[0] - b[0]) * (p[:, 1] - b[1]) - (c[1] - b[1]) * (p[:, 0] - b[0])
+                s2 = (a[0] - c[0]) * (p[:, 1] - c[1]) - (a[1] - c[1]) * (p[:, 0] - c[0])
+                if np.any((s0 > 0) & (s1 > 0) & (s2 > 0)):
+                    continue
+            tris.append((i0, i1, i2))
+            idx.pop(k)
+            clipped = True
+            break
+        if not clipped:
+            # tolerate slight non-simplicity: clip the most convex corner
+            best, bestv = None, -np.inf
+            for k in range(m):
+                i0, i1, i2 = idx[(k - 1) % m], idx[k], idx[(k + 1) % m]
+                v = cross(verts[i0], verts[i1], verts[i2])
+                if v > bestv:
+                    best, bestv = k, v
+            i0, i1, i2 = idx[(best - 1) % m], idx[best], idx[(best + 1) % m]
+            tris.append((i0, i1, i2))
+            idx.pop(best)
+    if len(idx) == 3:
+        tris.append(tuple(idx))
+    return np.asarray(tris, dtype=np.int64)
+
+
+def dedupe_polygon(verts: np.ndarray, tol: float = 1e-12) -> np.ndarray:
+    """Drop consecutive duplicate vertices (int-quantized contours have them)."""
+    keep = np.ones(len(verts), dtype=bool)
+    d = np.linalg.norm(verts - np.roll(verts, 1, axis=0), axis=1)
+    keep &= d > tol
+    if not keep.any():
+        return verts[:1]
+    return verts[keep]

@@ -1,0 +1,410 @@
+"""Batched planar contact engine — the TPU replacement for the reference's
+per-process CPU MuJoCo rollouts (``sim/sim_2d.py:113-182``).
+
+Model
+-----
+The 2D scene is strictly planar: the object (an extruded icon polygon on a
+frictional plane) has 3 in-plane DOF plus an explicit vertical DOF that only
+exists to reproduce MuJoCo's initial 1 cm drop onto the plane (the plane sits
+at z = -0.01, scene XML at ``assets/finger_sampler.py:173-174``) and hence the
+time-varying normal force behind plane friction. Each jaw is a 1-DOF slide
+joint (axis +y, damping 1) driven by a position actuator (kp = 10, ctrl
+clamped to +-0.1) exactly as the reference XML specifies.
+
+Contact is point-vs-heightfield: the inner face of each finger is a
+single-valued curve y = f(x) (cubic spline +- extrusion offset), so
+finger-object collision reduces to evaluating the spline at the object's
+contour-point x coordinates — a fully vectorized test with zero broadphase.
+Normal forces follow MuJoCo's soft-constraint law (a_ref = k*depth - b*v_n
+scaled by the contact's effective mass); friction is a velocity-level Coulomb
+projection with exact stiction, applied after the unconstrained velocity
+update. Plane support uses precomputed interior sample points approximating
+the uniform pressure distribution of a flat resting body.
+
+Everything is f32, static-shape, and `vmap`s over poses and pairs; a full
+object x gripper interaction profile (360 x 5 x 5 poses x 200 steps,
+``sim/sim_2d.py:139-171``) is one jitted `scan`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgdm_tpu.core.config import GRIPPER_2D, OBJECT_2D, SIM, NORM
+from dgdm_tpu.geom import contour as contour_lib
+from dgdm_tpu.geom import polygon as polygon_lib
+from dgdm_tpu.geom.spline import gripper2d_spline
+from dgdm_tpu.sim.types import Scene2D, State2D
+
+import flax.struct
+
+
+@flax.struct.dataclass
+class Calib:
+    """Effective-parameter knobs fitted against the MuJoCo oracle.
+
+    The engine's contact micro-structure differs from MuJoCo's mesh-mesh
+    collisions (which tilt/bounce the object and transiently unload plane
+    friction); these scalars absorb that difference at the statistics level.
+    Being pytree leaves they are runtime values — changing them does not
+    retrigger compilation."""
+
+    mu_plane: jnp.ndarray      # effective object-plane sliding friction
+    mu_finger: jnp.ndarray     # finger-object sliding friction
+    mu_torsion: jnp.ndarray    # torsional coefficient (meters)
+    k_contact: jnp.ndarray     # normal constraint stiffness (1/s^2)
+    b_contact: jnp.ndarray     # normal constraint damping (1/s)
+
+
+def default_calib() -> Calib:
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    return Calib(
+        mu_plane=f32(SIM.friction_slide),
+        mu_finger=f32(SIM.friction_slide),
+        mu_torsion=f32(SIM.friction_torsion),
+        k_contact=f32(K_CONTACT),
+        b_contact=f32(B_CONTACT),
+    )
+
+
+# contact gains (acceleration units, MuJoCo solref-style); the plane gains are
+# stiffer, matching the ~1e-4 m resting penetration the oracle shows
+K_CONTACT = SIM.contact_k
+B_CONTACT = SIM.contact_b
+K_PLANE = 1.0e5
+B_PLANE = 650.0
+# jaw mass: analytic strip mass x overlap factor measured against the oracle
+# (slab decomposition overfills the strip; V-HACD in the reference does too)
+FINGER_MASS_FACTOR = 2.44
+
+
+def make_scene(
+    yl: np.ndarray,
+    yr: np.ndarray,
+    contour: np.ndarray,
+    support_grid: int = 12,
+) -> Scene2D:
+    """Host-side scene construction from raw control points + object contour."""
+    sp = gripper2d_spline()
+    poly = contour_lib.ensure_ccw(np.asarray(contour, dtype=np.float64))
+    area, com, i0 = polygon_lib.polygon_area_centroid_inertia(poly)
+    spts, sw = polygon_lib.support_points(poly, grid=support_grid)
+    mass = SIM.mass_factor * SIM.density * area * OBJECT_2D.height
+    inertia = SIM.mass_factor * SIM.density * OBJECT_2D.height * i0
+    fmass = (
+        FINGER_MASS_FACTOR
+        * SIM.density
+        * (GRIPPER_2D.ctrl_x_max - GRIPPER_2D.ctrl_x_min)
+        * GRIPPER_2D.width
+        * GRIPPER_2D.height
+    )
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    return Scene2D(
+        coef_l=sp.coefs(f32(yl)),
+        coef_r=sp.coefs(f32(yr)),
+        contour=f32(poly),
+        com=f32(com),
+        mass=f32(mass),
+        inertia=f32(inertia),
+        support_pts=f32(spts),
+        support_w=f32(sw),
+        finger_mass=f32(fmass),
+    )
+
+
+def init_state(scene: Scene2D, pose: jnp.ndarray) -> State2D:
+    """pose = (x, y, theta) of the object BODY ORIGIN (the freejoint frame,
+    reference sim/sim_2d.py:150-157)."""
+    th = pose[2]
+    c, s = jnp.cos(th), jnp.sin(th)
+    rot = jnp.array([[c, -s], [s, c]])
+    com_w = pose[:2] + rot @ scene.com
+    z = jnp.zeros((), jnp.float32)
+    return State2D(
+        com=com_w,
+        theta=th,
+        vel=jnp.zeros(2, jnp.float32),
+        om=z,
+        zb=z,
+        vz=z,
+        q=jnp.zeros(2, jnp.float32),
+        qd=jnp.zeros(2, jnp.float32),
+    )
+
+
+def _finger_contacts(scene: Scene2D, state: State2D, pts_w, vel_pts, r):
+    """Contact sets against both finger heightfields.
+
+    Returns per-point (depth, normal (P,2), weight, vn, finger velocity coupling)
+    for left and right stacked: arrays of shape (2, P, ...)."""
+    sp = gripper2d_spline()
+    g = GRIPPER_2D
+    x = pts_w[:, 0]
+    y = pts_w[:, 1]
+    x_in = (x >= g.ctrl_x_min) & (x <= g.ctrl_x_max)
+    xc = jnp.clip(x, g.ctrl_x_min, g.ctrl_x_max)
+
+    f_l = sp.evaluate(scene.coef_l, xc)
+    d_l = sp.derivative(scene.coef_l, xc)
+    f_r = sp.evaluate(scene.coef_r, xc)
+    d_r = sp.derivative(scene.coef_r, xc)
+
+    surf_l = -g.jaw_offset + state.q[0] + f_l + g.width
+    surf_r = g.jaw_offset + state.q[1] + f_r
+
+    inv_l = jax.lax.rsqrt(1.0 + d_l * d_l)
+    inv_r = jax.lax.rsqrt(1.0 + d_r * d_r)
+    # unit normals pointing from finger surface into the halfspace of the object
+    n_l = jnp.stack([-d_l * inv_l, inv_l], axis=-1)          # +y-ish
+    n_r = jnp.stack([d_r * inv_r, -inv_r], axis=-1)          # -y-ish
+
+    depth_l = (surf_l - y) * inv_l
+    depth_r = (y - surf_r) * inv_r
+    act_l = (depth_l > 0.0) & x_in
+    act_r = (depth_r > 0.0) & x_in
+
+    depth = jnp.stack([depth_l, depth_r])
+    n = jnp.stack([n_l, n_r])
+    act = jnp.stack([act_l, act_r]).astype(jnp.float32)
+    return depth, n, act
+
+
+def _point_kinematics(scene: Scene2D, state: State2D):
+    c, s = jnp.cos(state.theta), jnp.sin(state.theta)
+    rot = jnp.array([[c, -s], [s, c]])
+    rel_b = scene.contour - scene.com                         # (P, 2)
+    r = rel_b @ rot.T                                         # world lever arms
+    pts_w = state.com + r
+    vel_pts = state.vel + state.om * jnp.stack([-r[:, 1], r[:, 0]], -1)
+    return rot, r, pts_w, vel_pts
+
+
+SOLVER_ITERS = 8
+IMPEDANCE = 0.95  # MuJoCo solimp d at full penetration
+
+
+def step(scene: Scene2D, state: State2D, ctrl: jnp.ndarray, dt: float = SIM.dt,
+         regrasp: jnp.ndarray | None = None, calib: Calib | None = None) -> State2D:
+    """One semi-implicit Euler step. ``ctrl`` = requested (left, right) target
+    displacement (clamped to the actuator ctrlrange like MuJoCo).
+
+    Contacts are resolved with an implicit velocity-level impulse solver
+    (mass-split Jacobi with projected accumulators), which reproduces the
+    near-rigid behavior of MuJoCo's constraint solver: the post-step relative
+    normal velocity is driven to the soft-constraint target
+    ``(1 - d*b*dt) v_n + d*dt*k*depth`` regardless of external load, so the
+    large wedge forces of a pinched object emerge correctly.
+    """
+    if calib is None:
+        calib = default_calib()
+    g = GRIPPER_2D
+    m, inertia, fm = scene.mass, scene.inertia, scene.finger_mass
+    inv_m, inv_i, inv_fm = 1.0 / m, 1.0 / inertia, 1.0 / fm
+
+    rot, r, pts_w, vel_pts = _point_kinematics(scene, state)
+    depth, n, act = _finger_contacts(scene, state, pts_w, vel_pts, r)
+
+    # mass-splitting weights: impulses applied simultaneously (Jacobi) are
+    # scaled by the share of simultaneously-active contacts per finger
+    cnt = jnp.maximum(act.sum(axis=1, keepdims=True), 1.0)
+    w_c = act / cnt                                           # (2, P)
+
+    # contact frame
+    t = jnp.stack([-n[..., 1], n[..., 0]], axis=-1)           # (2, P, 2)
+    rxn = r[None, :, 0] * n[..., 1] - r[None, :, 1] * n[..., 0]
+    rxt = r[None, :, 0] * t[..., 1] - r[None, :, 1] * t[..., 0]
+    m_eff_n = 1.0 / (inv_m + rxn * rxn * inv_i + n[..., 1] ** 2 * inv_fm)
+    m_eff_t = 1.0 / (inv_m + rxt * rxt * inv_i + t[..., 1] ** 2 * inv_fm)
+
+    # plane normal force: penalty in z (settles to ~1e-4 m like MuJoCo)
+    depth_z = (SIM.plane_z) - state.zb
+    n_total = m * jnp.maximum(K_PLANE * depth_z - B_PLANE * state.vz, 0.0)
+    n_i = scene.support_w * n_total                           # (S,)
+    rs = (scene.support_pts - scene.com) @ rot.T              # (S, 2)
+
+    # soft-constraint velocity targets (from current-state v_n and depth)
+    vf0 = state.qd[:, None, None] * jnp.array([0.0, 1.0])
+    vn0 = jnp.sum((vel_pts[None] - vf0) * n, axis=-1)
+    d_imp = IMPEDANCE
+    target_n = (1.0 - d_imp * calib.b_contact * dt) * vn0 + d_imp * dt * calib.k_contact * depth
+
+    # ---- unconstrained velocity update ------------------------------------
+    ctrl_c = jnp.clip(
+        ctrl, jnp.array([0.0, -g.ctrl_clamped]), jnp.array([g.ctrl_clamped, 0.0])
+    )
+    f_fing = g.kp * (ctrl_c - state.q) - g.joint_damping * state.qd
+    vel = state.vel
+    om = state.om
+    vz = state.vz + dt * (-SIM.gravity + n_total * inv_m)
+    qd = state.qd + dt * f_fing * inv_fm
+
+    # ---- implicit contact solve (Jacobi + projected accumulators) ---------
+    lam_n = jnp.zeros_like(depth)                             # (2, P)
+    lam_t = jnp.zeros_like(depth)
+    lam_s = jnp.zeros((scene.support_pts.shape[0], 2), jnp.float32)
+    lam_w = jnp.zeros_like(n_i)                               # torsion
+
+    def solver_iter(carry, _):
+        vel, om, qd, lam_n, lam_t, lam_s, lam_w = carry
+        # finger contacts: current relative velocity
+        vp = vel + om * jnp.stack([-r[:, 1], r[:, 0]], -1)
+        v_rel = vp[None] - qd[:, None, None] * jnp.array([0.0, 1.0])
+        vn = jnp.sum(v_rel * n, axis=-1)
+        vt = jnp.sum(v_rel * t, axis=-1)
+        # normal: project accumulated impulse to >= 0
+        d_lam_n = w_c * m_eff_n * (target_n - vn)
+        new_lam_n = jnp.maximum(lam_n + d_lam_n, 0.0)
+        d_n = new_lam_n - lam_n
+        # friction: clamp accumulated to the cone
+        cap = calib.mu_finger * new_lam_n
+        d_lam_t = -w_c * m_eff_t * vt
+        new_lam_t = jnp.clip(lam_t + d_lam_t, -cap, cap)
+        d_t = new_lam_t - lam_t
+        imp = d_n[..., None] * n + d_t[..., None] * t         # (2, P, 2)
+        vel = vel + jnp.sum(imp, axis=(0, 1)) * inv_m
+        om = om + jnp.sum(d_n * rxn + d_t * rxt) * inv_i
+        qd = qd - jnp.sum(imp[..., 1], axis=1) * inv_fm
+
+        # plane friction at support points (2D vector impulse per point)
+        v_s = vel + om * jnp.stack([-rs[:, 1], rs[:, 0]], -1)
+        d_lam_s = -scene.support_w[:, None] * m * v_s
+        new_lam_s = lam_s + d_lam_s
+        cap_s = calib.mu_plane * n_i * dt
+        norm_s = jnp.sqrt(jnp.sum(new_lam_s**2, axis=-1) + 1e-20)
+        scale_s = jnp.minimum(1.0, cap_s / norm_s)
+        new_lam_s = new_lam_s * scale_s[:, None]
+        d_s = new_lam_s - lam_s
+        vel = vel + jnp.sum(d_s, axis=0) * inv_m
+        om = om + jnp.sum(rs[:, 0] * d_s[:, 1] - rs[:, 1] * d_s[:, 0]) * inv_i
+        # torsional friction
+        d_lam_w = -scene.support_w * inertia * om
+        new_lam_w = jnp.clip(
+            lam_w + d_lam_w,
+            -calib.mu_torsion * n_i * dt,
+            calib.mu_torsion * n_i * dt,
+        )
+        d_w = new_lam_w - lam_w
+        om = om + jnp.sum(d_w) * inv_i
+        return (vel, om, qd, new_lam_n, new_lam_t, new_lam_s, new_lam_w), None
+
+    (vel, om, qd, lam_n, lam_t, lam_s, lam_w), _ = jax.lax.scan(
+        solver_iter,
+        (vel, om, qd, lam_n, lam_t, lam_s, lam_w),
+        None,
+        length=SOLVER_ITERS,
+    )
+
+    # ---- integrate positions ---------------------------------------------
+    new = State2D(
+        com=state.com + dt * vel,
+        theta=state.theta + dt * om,
+        vel=vel,
+        om=om,
+        zb=state.zb + dt * vz,
+        vz=vz,
+        q=state.q + dt * qd,
+        qd=qd,
+    )
+    if regrasp is not None:
+        # gripper state reset (eval re-grasp, dynamics/sim_test_mj.py:165-171):
+        # also zeroes all velocities like the reference's qvel reset
+        zero2 = jnp.zeros(2, jnp.float32)
+        z = jnp.zeros((), jnp.float32)
+        new = new.replace(
+            q=jnp.where(regrasp, zero2, new.q),
+            qd=jnp.where(regrasp, zero2, new.qd),
+            vel=jnp.where(regrasp, zero2, new.vel),
+            om=jnp.where(regrasp, z, new.om),
+            vz=jnp.where(regrasp, z, new.vz),
+        )
+    return new
+
+
+def _origin_of(scene: Scene2D, state: State2D) -> jnp.ndarray:
+    c, s = jnp.cos(state.theta), jnp.sin(state.theta)
+    rot = jnp.array([[c, -s], [s, c]])
+    return state.com - rot @ scene.com
+
+
+def rollout(
+    scene: Scene2D,
+    pose: jnp.ndarray,
+    steps: int = SIM.steps_2d,
+    dt: float = SIM.dt,
+    regrasp_every: int = 0,
+    calib: Calib | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Squeeze rollout from one initial pose.
+
+    Returns (delta_theta wrapped to (-pi, pi], delta_pos (2,), final_theta
+    in [0, 2pi)) matching the reference npz conventions (sim/sim_2d.py:172-180).
+    """
+    state0 = init_state(scene, pose)
+    ctrl = jnp.array([SIM.ctrl_2d, -SIM.ctrl_2d], jnp.float32)
+
+    def body(state, i):
+        if regrasp_every:
+            rg = (i % regrasp_every == 0) & (i > 0)
+        else:
+            rg = None
+        return step(scene, state, ctrl, dt, regrasp=rg, calib=calib), None
+
+    state, _ = jax.lax.scan(body, state0, jnp.arange(steps))
+    d_theta = _wrap(state.theta - pose[2])
+    d_pos = _origin_of(scene, state) - pose[:2]
+    final_theta = jnp.mod(state.theta, 2.0 * jnp.pi)
+    return d_theta, d_pos, final_theta
+
+
+def _wrap(x):
+    return x - 2.0 * jnp.pi * jnp.round(x / (2.0 * jnp.pi))
+
+
+def pose_grid(
+    grid_size: int = SIM.grid_size,
+    num_pos: int = SIM.num_pos,
+    pos_extent: float = SIM.pos_extent,
+) -> np.ndarray:
+    """The reference datagen pose lattice (sim/sim_2d.py:139-143), flattened in
+    the same (rot-major, then x, then y) order the npz arrays use."""
+    z_rots = np.arange(grid_size) * (2.0 * np.pi / grid_size)
+    locs = -pos_extent + 2.0 * pos_extent * np.arange(num_pos) / (num_pos - 1)
+    k, i, j = np.meshgrid(z_rots, locs, locs, indexing="ij")
+    return np.stack([i.reshape(-1), j.reshape(-1), k.reshape(-1)], -1).astype(
+        np.float32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "regrasp_every"))
+def profile(
+    scene: Scene2D,
+    poses: jnp.ndarray,
+    steps: int = SIM.steps_2d,
+    regrasp_every: int = 0,
+    calib: Calib | None = None,
+):
+    """Interaction profile: vmap the rollout over a pose batch.
+
+    poses (N, 3) -> (delta_theta (N,), delta_pos (N, 2), final_theta (N,))."""
+    return jax.vmap(
+        lambda p: rollout(
+            scene, p, steps=steps, regrasp_every=regrasp_every, calib=calib
+        )
+    )(poses)
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def profile_batch(
+    scenes: Scene2D,
+    poses: jnp.ndarray,
+    steps: int = SIM.steps_2d,
+    calib: Calib | None = None,
+):
+    """Batch over pairs AND poses: scenes with leading dim B, poses (N, 3)
+    shared -> outputs (B, N, ...). This is the datagen inner kernel."""
+    return jax.vmap(lambda sc: profile(sc, poses, steps=steps, calib=calib))(scenes)
