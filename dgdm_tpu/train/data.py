@@ -1,0 +1,107 @@
+"""Data pipelines.
+
+- ``DynamicsData``: loads interaction-profile npz shards (the reference layout,
+  ``dynamics/dataloader.py:40-79``) into dense normalized device-ready arrays.
+- ``procedural_grippers``: the diffusion training set — regenerated from
+  RandomState seeds exactly like ``generator/train.py:42-58`` (the seed IS the
+  dataset; nothing is stored).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from dgdm_tpu.core.config import GRIPPER_2D, GRIPPER_3D, NORM
+from dgdm_tpu.geom.fingers import normalize_y, sample_grippers_batch
+
+
+def normalize_record_2d(
+    rec: Dict[str, np.ndarray], object_max_num_vertices: int = 100
+) -> Dict[str, np.ndarray]:
+    """One npz record -> per-pose normalized training rows.
+
+    Output: ctrl (N, 14) y-only in [-1,1]; ori (N, 1); pos (N, 2);
+    obj (N, 2*V) flattened contour; score (N, 3) whitened."""
+    g, nm = GRIPPER_2D, NORM
+    n = rec["obj_theta"].shape[0]
+    y = rec["ctrlpts"][:, 1]
+    ctrl = (y - g.ctrl_y_min) / (g.ctrl_y_max - g.ctrl_y_min) * 2.0 - 1.0
+    ctrl = np.broadcast_to(ctrl, (n, ctrl.shape[0]))
+    ori = (rec["obj_theta"] / np.pi - 1.0)[:, None]
+    pos = rec["obj_pos"][:, :2] / nm.pos_scale
+    verts = rec["object_vertices"] / nm.object_extent_2d  # [-1, 1]
+    pad = object_max_num_vertices - verts.shape[0]
+    if pad > 0:
+        verts = np.concatenate([verts, np.zeros((pad, 2))], axis=0)
+    obj = np.broadcast_to(verts.reshape(-1), (n, verts.size))
+    std = np.asarray(nm.std_2d)
+    score = np.stack(
+        [
+            rec["delta_theta"] / std[0],
+            rec["delta_pos"][:, 0] / std[1],
+            rec["delta_pos"][:, 1] / std[2],
+        ],
+        axis=1,
+    )
+    return {
+        "ctrl": ctrl.astype(np.float32),
+        "ori": ori.astype(np.float32),
+        "pos": pos.astype(np.float32),
+        "obj": obj.astype(np.float32),
+        "score": score.astype(np.float32),
+    }
+
+
+class DynamicsData:
+    """Shard-reading dataset for dynamics training (2D).
+
+    Iterates per-pair shards (each expands to grid_size*num_pos^2 rows) and
+    yields concatenated, shuffled row batches."""
+
+    def __init__(self, dataset_dir: str, object_max_num_vertices: int = 100):
+        self.files: List[str] = []
+        for root, _, files in os.walk(dataset_dir):
+            for f in files:
+                if f.endswith(".npz"):
+                    self.files.append(os.path.join(root, f))
+        self.files.sort()
+        self.v = object_max_num_vertices
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def load(self, idx: int) -> Dict[str, np.ndarray]:
+        rec = np.load(self.files[idx], allow_pickle=True)["arr_0"].item()
+        return normalize_record_2d(rec, self.v)
+
+    def batches(
+        self,
+        pairs_per_batch: int,
+        rng: np.random.RandomState,
+        shuffle: bool = True,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.files))
+        if shuffle:
+            rng.shuffle(order)
+        for lo in range(0, len(order), pairs_per_batch):
+            idxs = order[lo : lo + pairs_per_batch]
+            recs = [self.load(i) for i in idxs]
+            yield {
+                k: np.concatenate([r[k] for r in recs], axis=0) for k in recs[0]
+            }
+
+
+def procedural_grippers(
+    total: int, fingers_3d: bool = False
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(train, val) normalized y arrays of shape (n, ctrlpts_dim, 1) with the
+    reference's 90/10 deterministic split (generator/train.py:40-41)."""
+    ys = sample_grippers_batch(0, total, fingers_3d)   # (N, 2, n_ctrl)
+    flat = ys.reshape(total, -1)                        # [yl | yr]
+    norm = np.asarray(normalize_y(flat, fingers_3d), dtype=np.float32)
+    norm = norm[..., None]
+    split = int(total * 0.9)
+    return norm[:split], norm[split:]
