@@ -1,0 +1,256 @@
+"""Classifier-guided DDIM sampling — the flagship fused loop.
+
+The reference's guided sampling (``generator/diffusion.py:541-709``) runs, per
+denoising step, a host-orchestrated loop: UNet forward on GPU, then
+``cond_fn`` tiling the noisy sample across the 360 x 5 x 5 pose grid through
+the frozen dynamics net with autograd (``generator/diffusion.py:473-504``),
+gradient update of epsilon (``:575``: eps <- eps - sqrt(1-abar_t) * grad *
+scale), DDIM step — and after sampling, a Ray/MuJoCo re-simulation.
+
+Here the whole denoise loop is ONE ``lax.scan`` jitted on TPU: UNet forward,
+pose-grid classifier gradient (chunked with ``lax.map`` over the pose axis to
+bound the live-activation footprint — the principled version of the
+reference's ``sub_bs``), epsilon correction, DDIM update. Simulation-based
+verification afterwards is also on-device (``dgdm_tpu.eval.simeval``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgdm_tpu.core.config import DIFFUSION, GUIDANCE
+from dgdm_tpu.diffusion import ddim
+from dgdm_tpu.design.objectives import convergence_centers
+
+
+def pose_grid_normalized(
+    grid_size: int, num_pos: int, ori_range: Tuple[float, float] = (-1.0, 1.0)
+) -> np.ndarray:
+    """(N, 3) normalized poses [ori, x, y], meshgrid-ordered like the
+    reference cond_fn (ori-major, then x, then y;
+    generator/diffusion.py:478-482)."""
+    ori = np.linspace(ori_range[0], ori_range[1], grid_size)
+    xy = np.linspace(-1.0, 1.0, num_pos)
+    o, x, y = np.meshgrid(ori, xy, xy, indexing="ij")
+    return np.stack([o.reshape(-1), x.reshape(-1), y.reshape(-1)], -1).astype(
+        np.float32
+    )
+
+
+class GuidedSampler2D:
+    """Bundles the (frozen) dynamics classifier and the (EMA) denoiser into a
+    single jitted guided-sampling program for 2D grippers."""
+
+    def __init__(
+        self,
+        unet,
+        classifier,
+        grid_size: int = GUIDANCE.grid_size_2d,
+        num_pos: int = GUIDANCE.num_pos,
+        num_train_timesteps: int = DIFFUSION.num_train_timesteps,
+        num_inference_steps: int = DIFFUSION.num_inference_steps,
+        pose_chunks: int = 12,
+    ):
+        self.unet = unet
+        self.classifier = classifier
+        self.sched = ddim.make_schedule(num_train_timesteps)
+        self.num_train_timesteps = num_train_timesteps
+        self.num_inference_steps = num_inference_steps
+        self.grid_size = grid_size
+        self.num_pos = num_pos
+        self.pose_chunks = pose_chunks
+
+    # -- classifier plumbing -------------------------------------------------
+
+    def _classifier_fwd(self, cls_vars, ctrl, ori, pos, t, obj):
+        return self.classifier.apply(cls_vars, ctrl, ori, pos, t, obj, train=False)
+
+    def _objective_weights(
+        self, objective: str, centers: Optional[jnp.ndarray], batch: int
+    ) -> Tuple[jnp.ndarray, bool]:
+        """Linear weights w (N, 1-or-B, 3) with objective = sum w*deltas
+        (square of component 0 instead for 'rotate')."""
+        from dgdm_tpu.design.objectives import SIMPLE_OBJECTIVES
+
+        n = self.grid_size * self.num_pos**2
+        if objective == "rotate":
+            return jnp.zeros(()), True
+        if objective == "convergence":
+            assert centers is not None
+            gidx = jnp.arange(n) // (self.num_pos**2)          # (N,)
+            off = (
+                gidx[None, :] - centers[:, None] + self.grid_size // 2
+            ) % self.grid_size - self.grid_size // 2           # (B, N)
+            sign = jnp.where(off < 0, 1.0, -1.0)
+            w = jnp.zeros((batch, n, 3)).at[..., 0].set(sign)
+            return jnp.transpose(w, (1, 0, 2)), False          # (N, B, 3)
+        base = SIMPLE_OBJECTIVES[objective](jnp.eye(3))        # (3,) weights
+        return jnp.broadcast_to(base, (n, 1, 3)), False
+
+    def cond_grad(
+        self,
+        cls_vars,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        obj_flat: jnp.ndarray,
+        weights: jnp.ndarray,
+        rotate_sq: bool,
+        poses: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """d(sum objective over pose grid)/dx. x (B, L, 1); poses (N, 3)."""
+        b, l, _ = x.shape
+        n = poses.shape[0]
+        chunk = n // self.pose_chunks
+        poses_c = poses.reshape(self.pose_chunks, chunk, 3)
+        if weights.ndim == 3 and weights.shape[0] == n:
+            w_c = weights.reshape(self.pose_chunks, chunk, *weights.shape[1:])
+        else:
+            w_c = jnp.broadcast_to(
+                weights, (self.pose_chunks,) + weights.shape
+            )
+        t_resc = jnp.full((), t, jnp.float32) / self.num_train_timesteps
+
+        def chunk_objective(xf, pose_chunk, w_chunk):
+            c = pose_chunk.shape[0]
+            ctrl = jnp.broadcast_to(xf[None], (c, b, l)).reshape(c * b, l)
+            ori = jnp.repeat(pose_chunk[:, 0:1], b, axis=0)
+            pos = jnp.repeat(pose_chunk[:, 1:3], b, axis=0)
+            obj = jnp.broadcast_to(
+                obj_flat[None, None], (c, b, obj_flat.shape[-1])
+            ).reshape(c * b, -1)
+            tt = jnp.full((c * b,), t_resc)
+            deltas = self._classifier_fwd(cls_vars, ctrl, ori, pos, tt, obj)
+            deltas = deltas.reshape(c, b, 3)
+            if rotate_sq:
+                return jnp.sum(deltas[..., 0] ** 2)
+            return jnp.sum(w_chunk * deltas)
+
+        def chunk_grad(args):
+            pose_chunk, w_chunk = args
+            return jax.grad(chunk_objective)(x[..., 0], pose_chunk, w_chunk)
+
+        grads = jax.lax.map(chunk_grad, (poses_c, w_c))
+        return jnp.sum(grads, axis=0)[..., None]               # (B, L, 1)
+
+    # -- guided sampling -----------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self", "objective"))
+    def sample(
+        self,
+        unet_params,
+        cls_vars,
+        noise: jnp.ndarray,
+        obj_flat: jnp.ndarray,
+        objective: str,
+        scale: jnp.ndarray,
+        centers: Optional[jnp.ndarray] = None,
+        ori_range: Tuple[float, float] = (-1.0, 1.0),
+    ) -> jnp.ndarray:
+        """One fused guided DDIM run. noise (B, L, 1) -> samples (B, L, 1)."""
+        b = noise.shape[0]
+        poses = jnp.asarray(
+            pose_grid_normalized(self.grid_size, self.num_pos, ori_range)
+        )
+        weights, rotate_sq = self._objective_weights(objective, centers, b)
+        ts = jnp.asarray(
+            ddim.inference_timesteps(
+                self.num_train_timesteps, self.num_inference_steps
+            )
+        )
+        pts = jnp.asarray(
+            ddim.prev_timesteps(self.num_train_timesteps, self.num_inference_steps)
+        )
+
+        def body(x, tp):
+            t, pt = tp
+            tb = jnp.full((b,), t)
+            eps = self.unet.apply({"params": unet_params}, x, tb)
+            g = self.cond_grad(cls_vars, x, t, obj_flat, weights, rotate_sq, poses)
+            abar = self.sched.alphas_cumprod[t]
+            eps = eps - jnp.sqrt(1.0 - abar) * g * scale
+            return ddim.ddim_step(self.sched, eps, t, pt, x), None
+
+        out, _ = jax.lax.scan(body, noise, (ts, pts))
+        return out
+
+    @functools.partial(jax.jit, static_argnames=("self", "objective"))
+    def sample_multi_object(
+        self,
+        unet_params,
+        cls_vars,
+        noise: jnp.ndarray,
+        obj_flats: jnp.ndarray,   # (O, obj_dim)
+        objective: str,
+        scale: jnp.ndarray,
+        ori_range: Tuple[float, float] = (-1.0, 1.0),
+    ) -> jnp.ndarray:
+        """Gradient averaged over objects (generator/diffusion.py:621-709)."""
+        b = noise.shape[0]
+        poses = jnp.asarray(
+            pose_grid_normalized(self.grid_size, self.num_pos, ori_range)
+        )
+        weights, rotate_sq = self._objective_weights(objective, None, b)
+        ts = jnp.asarray(
+            ddim.inference_timesteps(
+                self.num_train_timesteps, self.num_inference_steps
+            )
+        )
+        pts = jnp.asarray(
+            ddim.prev_timesteps(self.num_train_timesteps, self.num_inference_steps)
+        )
+
+        def body(x, tp):
+            t, pt = tp
+            tb = jnp.full((b,), t)
+            eps = self.unet.apply({"params": unet_params}, x, tb)
+            g = jnp.mean(
+                jax.vmap(
+                    lambda of: self.cond_grad(
+                        cls_vars, x, t, of, weights, rotate_sq, poses
+                    )
+                )(obj_flats),
+                axis=0,
+            )
+            abar = self.sched.alphas_cumprod[t]
+            eps = eps - jnp.sqrt(1.0 - abar) * g * scale
+            return ddim.ddim_step(self.sched, eps, t, pt, x), None
+
+        out, _ = jax.lax.scan(body, noise, (ts, pts))
+        return out
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def profile_classes(
+        self, cls_vars, x: jnp.ndarray, obj_flat: jnp.ndarray,
+        threshold_std0: jnp.ndarray,
+        ori_range: Tuple[float, float] = (-1.0, 1.0),
+    ) -> jnp.ndarray:
+        """Classifier orientation profile at pos=(0,0), t=0 -> classes (B, G).
+
+        Used to find convergence centers (generator/diffusion.py:506-539)."""
+        b, l, _ = x.shape
+        g = self.grid_size
+        ori = jnp.linspace(ori_range[0], ori_range[1], g)
+        ctrl = jnp.broadcast_to(x[..., 0][None], (g, b, l)).reshape(g * b, l)
+        orif = jnp.repeat(ori[:, None], b, axis=0)
+        pos = jnp.zeros((g * b, 2))
+        obj = jnp.broadcast_to(obj_flat[None], (g * b, obj_flat.shape[-1]))
+        tt = jnp.zeros((g * b,))
+        d0 = self._classifier_fwd(cls_vars, ctrl, orif, pos, tt, obj)[..., 0]
+        d0 = d0.reshape(g, b).T                               # (B, G)
+        return jnp.where(
+            d0 > threshold_std0, 2, jnp.where(d0 < -threshold_std0, 0, 1)
+        )
+
+    def find_convergence_centers(
+        self, cls_vars, unguided: jnp.ndarray, obj_flat: jnp.ndarray,
+        threshold_std0: float,
+    ) -> jnp.ndarray:
+        cls = self.profile_classes(
+            cls_vars, unguided, obj_flat, jnp.asarray(threshold_std0)
+        )
+        return convergence_centers(cls, self.grid_size)
