@@ -373,7 +373,10 @@ def pose_grid(
     """The reference datagen pose lattice (sim/sim_2d.py:139-143), flattened in
     the same (rot-major, then x, then y) order the npz arrays use."""
     z_rots = np.arange(grid_size) * (2.0 * np.pi / grid_size)
-    locs = -pos_extent + 2.0 * pos_extent * np.arange(num_pos) / (num_pos - 1)
+    if num_pos == 1:
+        locs = np.zeros(1)
+    else:
+        locs = -pos_extent + 2.0 * pos_extent * np.arange(num_pos) / (num_pos - 1)
     k, i, j = np.meshgrid(z_rots, locs, locs, indexing="ij")
     return np.stack([i.reshape(-1), j.reshape(-1), k.reshape(-1)], -1).astype(
         np.float32
