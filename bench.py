@@ -50,7 +50,7 @@ def measure_baseline() -> float:
     return rate
 
 
-def measure_tpu(num_pairs: int = 8, repeats: int = 2) -> float:
+def measure_tpu(num_pairs: int = 32, repeats: int = 2) -> float:
     import jax
 
     from dgdm_tpu.sim.datagen import throughput_workload

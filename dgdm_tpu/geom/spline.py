@@ -112,6 +112,16 @@ class CubicSpline1D:
         out = ((c[..., 3] * t + c[..., 2]) * t + c[..., 1]) * t + c[..., 0]
         return out[..., 0] if scalar else out
 
+    def evaluate_with_derivative(self, coefs: jnp.ndarray, x: jnp.ndarray):
+        """(value, derivative) sharing one coefficient selection — the hot
+        path of the contact engine."""
+        c, t, scalar = self._local(coefs, x)
+        val = ((c[..., 3] * t + c[..., 2]) * t + c[..., 1]) * t + c[..., 0]
+        der = (3.0 * c[..., 3] * t + 2.0 * c[..., 2]) * t + c[..., 1]
+        if scalar:
+            return val[..., 0], der[..., 0]
+        return val, der
+
     def derivative(self, coefs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         c, t, scalar = self._local(coefs, x)
         out = (3.0 * c[..., 3] * t + 2.0 * c[..., 2]) * t + c[..., 1]

@@ -34,12 +34,30 @@ def profile_pairs_2d(
     poses: np.ndarray,
     chunk: int = 1500,
     calib: Optional[engine2d.Calib] = None,
+    use_pallas: bool = True,
 ) -> Dict[str, np.ndarray]:
-    """Run the full pose grid for a stacked scene batch, chunked to bound the
-    live-intermediate footprint on device.
+    """Run the full pose grid for a stacked scene batch.
+
+    Default path: the fused Pallas rollout kernel (VMEM-resident state, pose
+    batch padded to a LANE multiple). Fallback / calibrated path: the pure-JAX
+    engine, chunked to bound the live-intermediate footprint.
 
     Returns dict with delta_theta (B, N), delta_pos (B, N, 2), final_theta."""
     n = poses.shape[0]
+    if use_pallas and calib is None:
+        from dgdm_tpu.sim import pallas2d
+
+        pad = (-n) % pallas2d.LANE
+        poses_p = np.concatenate([poses, poses[: pad or 0]], axis=0) if pad else poses
+        arrs = pallas2d.scene_arrays(scenes)
+        dth, dpos, fth = pallas2d.profile_batch_pallas(
+            *arrs, jnp.asarray(poses_p)
+        )
+        return {
+            "delta_theta": np.asarray(dth)[:, :n],
+            "delta_pos": np.asarray(dpos)[:, :n],
+            "final_theta": np.asarray(fth)[:, :n],
+        }
     assert n % chunk == 0 or chunk >= n, (n, chunk)
     outs = []
     for lo in range(0, n, chunk):
@@ -113,11 +131,12 @@ def generate_2d(
 
 
 def throughput_workload(
-    num_pairs: int = 8,
+    num_pairs: int = 32,
     grid_size: int = SIM.grid_size,
     num_pos: int = SIM.num_pos,
     chunk: int = 1500,
     contour: Optional[np.ndarray] = None,
+    use_pallas: bool = True,
 ):
     """Build a ready-to-run closure for benchmarking rollout throughput."""
     if contour is None:
@@ -132,7 +151,7 @@ def throughput_workload(
     poses = engine2d.pose_grid(grid_size=grid_size, num_pos=num_pos)
 
     def run():
-        return profile_pairs_2d(scenes, poses, chunk=chunk)
+        return profile_pairs_2d(scenes, poses, chunk=chunk, use_pallas=use_pallas)
 
     total_rollouts = num_pairs * poses.shape[0]
     return run, total_rollouts

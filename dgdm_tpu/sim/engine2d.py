@@ -89,8 +89,16 @@ def make_scene(
     contour: np.ndarray,
     support_grid: int = 12,
 ) -> Scene2D:
-    """Host-side scene construction from raw control points + object contour."""
-    sp = gripper2d_spline()
+    """Host-side scene construction from raw control points + object contour.
+
+    Pure numpy until the final device_put — eager per-op device dispatch is
+    expensive on this platform, and scene building runs in host loops."""
+    from dgdm_tpu.geom.spline import cubic_coef_operator
+
+    g = GRIPPER_2D
+    coef_op = cubic_coef_operator(g.num_ctrl, g.ctrl_x_min, g.ctrl_x_max)
+    coef_l = np.einsum("skn,n->sk", coef_op, np.asarray(yl, np.float64))
+    coef_r = np.einsum("skn,n->sk", coef_op, np.asarray(yr, np.float64))
     poly = contour_lib.ensure_ccw(np.asarray(contour, dtype=np.float64))
     area, com, i0 = polygon_lib.polygon_area_centroid_inertia(poly)
     spts, sw = polygon_lib.support_points(poly, grid=support_grid)
@@ -105,8 +113,8 @@ def make_scene(
     )
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
     return Scene2D(
-        coef_l=sp.coefs(f32(yl)),
-        coef_r=sp.coefs(f32(yr)),
+        coef_l=f32(coef_l),
+        coef_r=f32(coef_r),
         contour=f32(poly),
         com=f32(com),
         mass=f32(mass),
@@ -142,17 +150,15 @@ def _finger_contacts(scene: Scene2D, state: State2D, pts_w, vel_pts, r):
 
     Returns per-point (depth, normal (P,2), weight, vn, finger velocity coupling)
     for left and right stacked: arrays of shape (2, P, ...)."""
-    sp = gripper2d_spline()
+    sp = _SPLINE
     g = GRIPPER_2D
     x = pts_w[:, 0]
     y = pts_w[:, 1]
     x_in = (x >= g.ctrl_x_min) & (x <= g.ctrl_x_max)
     xc = jnp.clip(x, g.ctrl_x_min, g.ctrl_x_max)
 
-    f_l = sp.evaluate(scene.coef_l, xc)
-    d_l = sp.derivative(scene.coef_l, xc)
-    f_r = sp.evaluate(scene.coef_r, xc)
-    d_r = sp.derivative(scene.coef_r, xc)
+    f_l, d_l = sp.evaluate_with_derivative(scene.coef_l, xc)
+    f_r, d_r = sp.evaluate_with_derivative(scene.coef_r, xc)
 
     surf_l = -g.jaw_offset + state.q[0] + f_l + g.width
     surf_r = g.jaw_offset + state.q[1] + f_r
@@ -183,6 +189,9 @@ def _point_kinematics(scene: Scene2D, state: State2D):
     vel_pts = state.vel + state.om * jnp.stack([-r[:, 1], r[:, 0]], -1)
     return rot, r, pts_w, vel_pts
 
+
+# construct the cached spline at import time, outside any jit trace
+_SPLINE = gripper2d_spline()
 
 SOLVER_ITERS = 8
 IMPEDANCE = 0.95  # MuJoCo solimp d at full penetration

@@ -1,0 +1,333 @@
+"""Batched 3D contact engine — TPU replacement for the reference's 3D MuJoCo
+rollouts (``sim/sim_3d.py:108-172``).
+
+The object is a full 6-DOF rigid body (quaternion attitude) described by
+surface sample points; each jaw is a 1-DOF slide joint along y carrying a
+B-spline surface finger (``assets/finger_3d.py``), whose inner face is the
+heightfield y = f(x, z) — so finger contact is again point-vs-heightfield,
+evaluated with the precomputed B-spline piecewise-polynomial basis. Plane
+contact runs through the same implicit solver (normals +z with lever arms, so
+tipping is resolved correctly); the reference's tip-over give-up
+(``sim/sim_3d.py:159-161``) becomes a per-rollout validity flag.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgdm_tpu.core.config import GRIPPER_3D, SIM
+from dgdm_tpu.geom.spline import gripper3d_surface
+from dgdm_tpu.sim.types import Scene3D, State3D
+from dgdm_tpu.sim.engine2d import B_CONTACT, IMPEDANCE, K_CONTACT
+
+# construct the cached B-spline surface at import time, outside any jit
+# trace (a trace-time first construction would cache tracer constants)
+_SURF = gripper3d_surface()
+
+K_PLANE3 = 2.5e4
+B_PLANE3 = 300.0
+SOLVER_ITERS = 8
+FINGER_MASS_FACTOR = 2.4
+
+
+def make_scene(
+    yl: np.ndarray,
+    yr: np.ndarray,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    num_points: int = 512,
+    seed: int = 0,
+) -> Scene3D:
+    """yl/yr: (21,) finger ctrl y values (x-major grid order); verts/faces:
+    the object mesh (watertight)."""
+    from dgdm_tpu.geom import mesh3d
+
+    g = GRIPPER_3D
+    mass, com, inertia = mesh3d.mass_properties(verts, faces, SIM.density)
+    mass *= SIM.mass_factor
+    inertia = inertia * SIM.mass_factor
+    pts = mesh3d.sample_surface(verts, faces, num_points, seed=seed)
+    fmass = (
+        FINGER_MASS_FACTOR
+        * SIM.density
+        * (g.ctrl_x_max - g.ctrl_x_min)
+        * (g.ctrl_z_max - g.ctrl_z_min)
+        * g.width
+    )
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    return Scene3D(
+        yl=f32(np.asarray(yl).reshape(g.nu, g.nv)),
+        yr=f32(np.asarray(yr).reshape(g.nu, g.nv)),
+        points=f32(pts),
+        com=f32(com),
+        mass=f32(mass),
+        inertia=f32(inertia),
+        inv_inertia=f32(np.linalg.inv(inertia)),
+        bottom_pts=f32(pts[:1]),      # unused: plane contact uses all points
+        bottom_w=f32(np.ones(1)),
+        finger_mass=f32(fmass),
+    )
+
+
+def quat_to_mat(q: jnp.ndarray) -> jnp.ndarray:
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    return jnp.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def quat_integrate(q: jnp.ndarray, om: jnp.ndarray, dt: float) -> jnp.ndarray:
+    """q <- normalize(q + dt/2 * om_quat * q), om in world frame."""
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    ox, oy, oz = om[0], om[1], om[2]
+    dq = 0.5 * jnp.array(
+        [
+            -ox * x - oy * y - oz * z,
+            ox * w + oy * z - oz * y,
+            -ox * z + oy * w + oz * x,
+            ox * y - oy * x + oz * w,
+        ]
+    )
+    q = q + dt * dq
+    return q / jnp.sqrt(jnp.sum(q * q) + 1e-12)
+
+
+def init_state(scene: Scene3D, pose: jnp.ndarray) -> State3D:
+    """pose = (x, y, theta): body origin offset + z-rotation
+    (sim/sim_3d.py:138-145; z position starts at 0)."""
+    th = pose[2]
+    q = jnp.stack(
+        [jnp.cos(th / 2), jnp.zeros(()), jnp.zeros(()), jnp.sin(th / 2)]
+    )
+    rot = quat_to_mat(q)
+    origin = jnp.stack([pose[0], pose[1], jnp.zeros(())])
+    return State3D(
+        pos=origin + rot @ scene.com,
+        quat=q,
+        vel=jnp.zeros(3, jnp.float32),
+        om=jnp.zeros(3, jnp.float32),
+        q=jnp.zeros(2, jnp.float32),
+        qd=jnp.zeros(2, jnp.float32),
+    )
+
+
+def step(
+    scene: Scene3D,
+    state: State3D,
+    ctrl: jnp.ndarray,
+    dt: float = SIM.dt,
+    regrasp: jnp.ndarray | None = None,
+    solver_iters: int = SOLVER_ITERS,
+) -> State3D:
+    g = GRIPPER_3D
+    surf = _SURF
+    m, fm = scene.mass, scene.finger_mass
+    inv_m, inv_fm = 1.0 / m, 1.0 / fm
+    rot = quat_to_mat(state.quat)
+    inv_i = rot @ scene.inv_inertia @ rot.T                  # world frame
+
+    r = (scene.points - scene.com) @ rot.T                   # (P, 3) world
+    pw = state.pos + r
+
+    x, y, z = pw[:, 0], pw[:, 1], pw[:, 2]
+    in_dom = (
+        (x >= g.ctrl_x_min) & (x <= g.ctrl_x_max)
+        & (z >= g.ctrl_z_min) & (z <= g.ctrl_z_max)
+    )
+    xc = jnp.clip(x, g.ctrl_x_min, g.ctrl_x_max)
+    zc = jnp.clip(z, g.ctrl_z_min, g.ctrl_z_max)
+
+    f_l = surf.height(scene.yl, xc, zc)
+    f_r = surf.height(scene.yr, xc, zc)
+    sx_l, sz_l = surf.slopes(scene.yl, xc, zc)
+    sx_r, sz_r = surf.slopes(scene.yr, xc, zc)
+
+    surf_l = -g.jaw_offset + state.q[0] + f_l + g.width
+    surf_r = g.jaw_offset + state.q[1] + f_r
+    inv_nl = jax.lax.rsqrt(1.0 + sx_l**2 + sz_l**2)
+    inv_nr = jax.lax.rsqrt(1.0 + sx_r**2 + sz_r**2)
+    n_l = jnp.stack([-sx_l, jnp.ones_like(sx_l), -sz_l], -1) * inv_nl[:, None]
+    n_r = jnp.stack([sx_r, -jnp.ones_like(sx_r), sz_r], -1) * inv_nr[:, None]
+    depth_l = (surf_l - y) * inv_nl
+    depth_r = (y - surf_r) * inv_nr
+    act_l = ((depth_l > 0.0) & in_dom).astype(jnp.float32)
+    act_r = ((depth_r > 0.0) & in_dom).astype(jnp.float32)
+
+    # plane contacts: all surface points against z = plane_z
+    depth_p = SIM.plane_z - z
+    act_p = (depth_p > 0.0).astype(jnp.float32)
+
+    depth = jnp.stack([depth_l, depth_r, depth_p])           # (3, P)
+    n = jnp.stack(
+        [n_l, n_r, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), n_l.shape)]
+    )                                                        # (3, P, 3)
+    act = jnp.stack([act_l, act_r, act_p])
+    cnt = jnp.maximum(act.sum(axis=1, keepdims=True), 1.0)
+    w_c = act / cnt
+
+    # effective mass along normals; finger coupling only for rows 0/1
+    rxn = jnp.cross(jnp.broadcast_to(r, n.shape), n)          # (3, P, 3)
+    ang = jnp.einsum("cpi,ij,cpj->cp", rxn, inv_i, rxn)
+    fing_y = jnp.stack(
+        [n_l[:, 1] ** 2, n_r[:, 1] ** 2, jnp.zeros_like(depth_p)]
+    )
+    m_eff_n = 1.0 / (inv_m + ang + fing_y * inv_fm)
+
+    k_c = jnp.array([K_CONTACT, K_CONTACT, K_PLANE3])[:, None]
+    b_c = jnp.array([B_CONTACT, B_CONTACT, B_PLANE3])[:, None]
+
+    vf = jnp.stack(
+        [
+            state.qd[0] * jnp.array([0.0, 1.0, 0.0]),
+            state.qd[1] * jnp.array([0.0, 1.0, 0.0]),
+            jnp.zeros(3),
+        ]
+    )                                                        # (3, 3)
+    vp0 = state.vel + jnp.cross(state.om, r)                 # (P, 3)
+    vrel0 = vp0[None] - vf[:, None, :]
+    vn0 = jnp.sum(vrel0 * n, axis=-1)
+    d_imp = IMPEDANCE
+    target_n = (1.0 - d_imp * b_c * dt) * vn0 + d_imp * dt * k_c * depth
+
+    # unconstrained update
+    ctrl_c = jnp.clip(
+        ctrl, jnp.array([0.0, -g.ctrl_clamped]), jnp.array([g.ctrl_clamped, 0.0])
+    )
+    f_fing = g.kp * (ctrl_c - state.q) - g.joint_damping * state.qd
+    vel = state.vel + dt * jnp.array([0.0, 0.0, -SIM.gravity])
+    om = state.om
+    qd = state.qd + dt * f_fing * inv_fm
+
+    lam_n = jnp.zeros_like(depth)
+    lam_t = jnp.zeros(depth.shape + (3,), jnp.float32)
+
+    def solve(carry, _):
+        vel, om, qd, lam_n, lam_t = carry
+        vp = vel + jnp.cross(om, r)
+        vf = jnp.stack(
+            [
+                qd[0] * jnp.array([0.0, 1.0, 0.0]),
+                qd[1] * jnp.array([0.0, 1.0, 0.0]),
+                jnp.zeros(3),
+            ]
+        )
+        vrel = vp[None] - vf[:, None, :]
+        vn = jnp.sum(vrel * n, axis=-1)
+        d_lam = w_c * m_eff_n * (target_n - vn)
+        new_n = jnp.maximum(lam_n + d_lam, 0.0)
+        d_n = new_n - lam_n
+
+        # friction: tangential component, vector cone clamp; effective mass
+        # approximated by the normal-direction m_eff (standard PGS shortcut)
+        vt = vrel - vn[..., None] * n
+        d_lam_t = -w_c[..., None] * m_eff_n[..., None] * vt
+        cand = lam_t + d_lam_t
+        cap = SIM.friction_slide * new_n
+        nrm = jnp.sqrt(jnp.sum(cand * cand, -1) + 1e-20)
+        cand = cand * jnp.minimum(1.0, cap / nrm)[..., None]
+        d_t = cand - lam_t
+
+        imp = d_n[..., None] * n + d_t                       # (3, P, 3)
+        vel = vel + jnp.sum(imp, axis=(0, 1)) * inv_m
+        om = om + inv_i @ jnp.sum(
+            jnp.cross(jnp.broadcast_to(r, imp.shape), imp), axis=(0, 1)
+        )
+        qd = qd - jnp.stack(
+            [jnp.sum(imp[0, :, 1]), jnp.sum(imp[1, :, 1])]
+        ) * inv_fm
+        return (vel, om, qd, new_n, cand), None
+
+    (vel, om, qd, lam_n, lam_t), _ = jax.lax.scan(
+        solve, (vel, om, qd, lam_n, lam_t), None, length=solver_iters
+    )
+
+    new = State3D(
+        pos=state.pos + dt * vel,
+        quat=quat_integrate(state.quat, om, dt),
+        vel=vel,
+        om=om,
+        q=state.q + dt * qd,
+        qd=qd,
+    )
+    if regrasp is not None:
+        zero2 = jnp.zeros(2, jnp.float32)
+        zero3 = jnp.zeros(3, jnp.float32)
+        new = new.replace(
+            q=jnp.where(regrasp, zero2, new.q),
+            qd=jnp.where(regrasp, zero2, new.qd),
+            vel=jnp.where(regrasp, zero3, new.vel),
+            om=jnp.where(regrasp, zero3, new.om),
+        )
+    return new
+
+
+def _z_angle(q: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle magnitude for near-z rotations in [0, 2pi) — matches
+    transforms3d quat2axangle's angle output for z-axis quats
+    (sim/sim_3d.py:167)."""
+    return jnp.mod(2.0 * jnp.arctan2(q[3], q[0]), 2.0 * jnp.pi)
+
+
+def rollout(
+    scene: Scene3D,
+    pose: jnp.ndarray,
+    steps: int = SIM.steps_3d,
+    dt: float = SIM.dt,
+    regrasp_every: int = 0,
+    solver_iters: int = SOLVER_ITERS,
+):
+    """Returns (delta_theta, delta_pos (2,), final_theta, valid) where valid
+    is False on tip-over (quat x/y beyond the reference's 1e-2 tolerance)."""
+    state0 = init_state(scene, pose)
+    ctrl = jnp.array([SIM.ctrl_3d, -SIM.ctrl_3d], jnp.float32)
+
+    def body(state, i):
+        if regrasp_every:
+            rg = (i % regrasp_every == 0) & (i > 0)
+        else:
+            rg = None
+        return step(scene, state, ctrl, dt, regrasp=rg,
+                    solver_iters=solver_iters), None
+
+    state, _ = jax.lax.scan(body, state0, jnp.arange(steps))
+    theta0 = pose[2]
+    theta_f = _z_angle(state.quat)
+    d_theta = theta_f - jnp.mod(theta0, 2 * jnp.pi)
+    d_theta = d_theta - 2 * jnp.pi * jnp.round(d_theta / (2 * jnp.pi))
+    rot = quat_to_mat(state.quat)
+    origin = state.pos - rot @ scene.com
+    d_pos = origin[:2] - pose[:2]
+    valid = (jnp.abs(state.quat[1]) < SIM.tipover_atol) & (
+        jnp.abs(state.quat[2]) < SIM.tipover_atol
+    )
+    return d_theta, d_pos, theta_f, valid
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "regrasp_every", "solver_iters"))
+def profile(
+    scene: Scene3D,
+    poses: jnp.ndarray,
+    steps: int = SIM.steps_3d,
+    regrasp_every: int = 0,
+    solver_iters: int = SOLVER_ITERS,
+):
+    return jax.vmap(
+        lambda p: rollout(
+            scene, p, steps=steps, regrasp_every=regrasp_every,
+            solver_iters=solver_iters,
+        )
+    )(poses)
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def profile_batch(scenes: Scene3D, poses: jnp.ndarray, steps: int = SIM.steps_3d):
+    return jax.vmap(lambda sc: profile(sc, poses, steps=steps))(scenes)

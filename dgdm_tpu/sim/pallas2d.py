@@ -1,0 +1,393 @@
+"""Pallas TPU kernel: fully fused 2D squeeze rollouts.
+
+The pure-JAX engine (``engine2d.py``) is HBM-bound: every scan step
+materializes (batch, contacts) intermediates. This kernel keeps the whole
+rollout resident in VMEM: each program runs LANE=128 rollouts of one
+object x gripper pair for all ``steps`` timesteps — rollouts live in lanes,
+contour points in sublanes, so every contact op is a dense (P, 128) VPU op
+and nothing touches HBM until the final (delta_theta, delta_pos, final_theta)
+write-back.
+
+Physics is the same implicit mass-split Jacobi solver as ``engine2d.step``
+(see that module for the MuJoCo-matching derivation); numerical results agree
+to f32 tolerance (tests/test_pallas2d.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dgdm_tpu.core.config import GRIPPER_2D, SIM
+from dgdm_tpu.sim.engine2d import (
+    B_CONTACT,
+    B_PLANE,
+    IMPEDANCE,
+    K_CONTACT,
+    K_PLANE,
+    SOLVER_ITERS,
+)
+
+LANE = 128
+
+
+def _segment_coefs(coef_ref, finger: int, seg: jnp.ndarray):
+    """Select per-point cubic coefficients c0..c3 for segment indices
+    ``seg`` (P, L) from coef_ref block (1, 2, 6, 4) via a where-chain
+    (6 segments — cheaper than gathers on TPU)."""
+    cs = []
+    for k in range(4):
+        val = jnp.float32(0.0)
+        acc = None
+        for s in range(6):
+            c_sk = coef_ref[0, finger, s, k]
+            if acc is None:
+                acc = jnp.full_like(seg, 0.0, dtype=jnp.float32) + c_sk
+            else:
+                acc = jnp.where(seg >= s, c_sk, acc)
+        cs.append(acc)
+    return cs
+
+
+def _rollout_kernel(
+    # scene refs (per pair)
+    coef_ref,        # (1, 2, 6, 4)
+    contour_ref,     # (1, P, 2)
+    support_ref,     # (1, S, 4): x, y, weight, pad
+    scal_ref,        # (1, 1, 8): mass, inertia, fmass, com_x, com_y, pad...
+    poses_ref,       # (3, LANE)
+    # outputs
+    dth_ref,         # (1, 1, LANE)
+    dpx_ref,         # (1, 1, LANE)
+    dpy_ref,         # (1, 1, LANE)
+    fth_ref,         # (1, 1, LANE)
+    *,
+    steps: int,
+    dt: float,
+    regrasp_every: int,
+    solver_iters: int,
+    ctrl_mag: float,
+):
+    g = GRIPPER_2D
+    x0f, x1f = g.ctrl_x_min, g.ctrl_x_max
+    h = (x1f - x0f) / (g.num_ctrl - 1)
+
+    mass = scal_ref[0, 0, 0]
+    inertia = scal_ref[0, 0, 1]
+    fmass = scal_ref[0, 0, 2]
+    com_bx = scal_ref[0, 0, 3]
+    com_by = scal_ref[0, 0, 4]
+    inv_m, inv_i, inv_fm = 1.0 / mass, 1.0 / inertia, 1.0 / fmass
+
+    # body-frame contour relative to COM: (P, 1) -> broadcast against lanes
+    cbx = contour_ref[0, :, 0:1] - com_bx          # (P, 1)
+    cby = contour_ref[0, :, 1:2] - com_by
+    sbx = support_ref[0, :, 0:1] - com_bx          # (S, 1)
+    sby = support_ref[0, :, 1:2] - com_by
+    sw = support_ref[0, :, 2:3]                    # (S, 1) weights
+
+    pose_x = poses_ref[0:1, :]                     # (1, L)
+    pose_y = poses_ref[1:2, :]
+    theta0 = poses_ref[2:3, :]
+
+    c0, s0 = jnp.cos(theta0), jnp.sin(theta0)
+    com_x = pose_x + c0 * com_bx - s0 * com_by
+    com_y = pose_y + s0 * com_bx + c0 * com_by
+
+    zero = jnp.zeros_like(com_x)
+    state = (
+        com_x, com_y, theta0 + zero,               # position
+        zero, zero, zero,                          # vel x, y, om
+        zero, zero,                                # zb, vz
+        zero, zero, zero, zero,                    # ql, qr, qdl, qdr
+    )
+
+    ctrl_l = jnp.float32(min(ctrl_mag, g.ctrl_clamped))
+    ctrl_r = -ctrl_l
+    d_imp = jnp.float32(IMPEDANCE)
+
+    def step_body(i, st):
+        (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr) = st
+        if regrasp_every:
+            do_rg = (i % regrasp_every == 0) & (i > 0)
+            ql = jnp.where(do_rg, 0.0, ql)
+            qr = jnp.where(do_rg, 0.0, qr)
+            qdl = jnp.where(do_rg, 0.0, qdl)
+            qdr = jnp.where(do_rg, 0.0, qdr)
+            vx = jnp.where(do_rg, 0.0, vx)
+            vy = jnp.where(do_rg, 0.0, vy)
+            om = jnp.where(do_rg, 0.0, om)
+            vz = jnp.where(do_rg, 0.0, vz)
+
+        c, s = jnp.cos(th), jnp.sin(th)            # (1, L)
+        # world lever arms of contour points: (P, L)
+        rx = cbx * c - cby * s
+        ry = cbx * s + cby * c
+        px = cx + rx
+        py = cy + ry
+
+        x_in = (px >= x0f) & (px <= x1f)
+        xc = jnp.clip(px, x0f, x1f)
+        seg = jnp.clip(
+            ((xc - x0f) * (1.0 / h)).astype(jnp.int32), 0, g.num_ctrl - 2
+        )
+        t_loc = xc - (x0f + seg.astype(jnp.float32) * h)
+
+        f_val = []
+        d_val = []
+        for fi in range(2):
+            c3, c2, c1, c0_ = None, None, None, None
+            cs = _segment_coefs(coef_ref, fi, seg)
+            c0_, c1, c2, c3 = cs
+            val = ((c3 * t_loc + c2) * t_loc + c1) * t_loc + c0_
+            der = (3.0 * c3 * t_loc + 2.0 * c2) * t_loc + c1
+            f_val.append(val)
+            d_val.append(der)
+
+        surf_l = (-g.jaw_offset + g.width) + ql + f_val[0]
+        surf_r = g.jaw_offset + qr + f_val[1]
+        inv_l = jax.lax.rsqrt(1.0 + d_val[0] * d_val[0])
+        inv_r = jax.lax.rsqrt(1.0 + d_val[1] * d_val[1])
+        nlx, nly = -d_val[0] * inv_l, inv_l
+        nrx, nry = d_val[1] * inv_r, -inv_r
+        depth_l = (surf_l - py) * inv_l
+        depth_r = (py - surf_r) * inv_r
+        act_l = ((depth_l > 0.0) & x_in).astype(jnp.float32)
+        act_r = ((depth_r > 0.0) & x_in).astype(jnp.float32)
+        cnt_l = jnp.maximum(jnp.sum(act_l, 0, keepdims=True), 1.0)
+        cnt_r = jnp.maximum(jnp.sum(act_r, 0, keepdims=True), 1.0)
+        w_l = act_l / cnt_l
+        w_r = act_r / cnt_r
+
+        rxn_l = rx * nly - ry * nlx
+        rxn_r = rx * nry - ry * nrx
+        tlx, tly = -nly, nlx
+        trx, try_ = -nry, nrx
+        rxt_l = rx * tly - ry * tlx
+        rxt_r = rx * try_ - ry * trx
+        me_n_l = 1.0 / (inv_m + rxn_l * rxn_l * inv_i + nly * nly * inv_fm)
+        me_n_r = 1.0 / (inv_m + rxn_r * rxn_r * inv_i + nry * nry * inv_fm)
+        me_t_l = 1.0 / (inv_m + rxt_l * rxt_l * inv_i + tly * tly * inv_fm)
+        me_t_r = 1.0 / (inv_m + rxt_r * rxt_r * inv_i + try_ * try_ * inv_fm)
+
+        # plane normal (z penalty)
+        depth_z = SIM.plane_z - zb
+        n_total = mass * jnp.maximum(K_PLANE * depth_z - B_PLANE * vz, 0.0)
+        n_i = sw * n_total                         # (S, L)
+        rsx = sbx * c - sby * s
+        rsy = sbx * s + sby * c
+
+        # soft-constraint velocity targets from pre-update velocities
+        vpl_x = vx - om * ry
+        vpl_y = vy + om * rx
+        vn0_l = (vpl_x) * nlx + (vpl_y - qdl) * nly
+        vn0_r = (vpl_x) * nrx + (vpl_y - qdr) * nry
+        tgt_l = (1.0 - d_imp * B_CONTACT * dt) * vn0_l + d_imp * dt * K_CONTACT * depth_l
+        tgt_r = (1.0 - d_imp * B_CONTACT * dt) * vn0_r + d_imp * dt * K_CONTACT * depth_r
+
+        # unconstrained update
+        f_l = g.kp * (ctrl_l - ql) - g.joint_damping * qdl
+        f_r = g.kp * (ctrl_r - qr) - g.joint_damping * qdr
+        vz = vz + dt * (-SIM.gravity + n_total * inv_m)
+        qdl = qdl + dt * f_l * inv_fm
+        qdr = qdr + dt * f_r * inv_fm
+
+        lam_nl = jnp.zeros_like(depth_l)
+        lam_nr = jnp.zeros_like(depth_r)
+        lam_tl = jnp.zeros_like(depth_l)
+        lam_tr = jnp.zeros_like(depth_r)
+        lam_sx = jnp.zeros_like(n_i)
+        lam_sy = jnp.zeros_like(n_i)
+        lam_w = jnp.zeros_like(n_i)
+
+        def solve(j, carry):
+            (vx, vy, om, qdl, qdr,
+             lam_nl, lam_nr, lam_tl, lam_tr, lam_sx, lam_sy, lam_w) = carry
+            vpx = vx - om * ry
+            vpy = vy + om * rx
+            vn_l = vpx * nlx + (vpy - qdl) * nly
+            vn_r = vpx * nrx + (vpy - qdr) * nry
+            vt_l = vpx * tlx + (vpy - qdl) * tly
+            vt_r = vpx * trx + (vpy - qdr) * try_
+
+            dln = w_l * me_n_l * (tgt_l - vn_l)
+            new_nl = jnp.maximum(lam_nl + dln, 0.0)
+            d_nl = new_nl - lam_nl
+            drn = w_r * me_n_r * (tgt_r - vn_r)
+            new_nr = jnp.maximum(lam_nr + drn, 0.0)
+            d_nr = new_nr - lam_nr
+
+            cap_l = SIM.friction_slide * new_nl
+            cap_r = SIM.friction_slide * new_nr
+            new_tl = jnp.clip(lam_tl - w_l * me_t_l * vt_l, -cap_l, cap_l)
+            new_tr = jnp.clip(lam_tr - w_r * me_t_r * vt_r, -cap_r, cap_r)
+            d_tl = new_tl - lam_tl
+            d_tr = new_tr - lam_tr
+
+            imp_x = d_nl * nlx + d_tl * tlx + d_nr * nrx + d_tr * trx
+            imp_y = d_nl * nly + d_tl * tly + d_nr * nry + d_tr * try_
+            vx = vx + jnp.sum(imp_x, 0, keepdims=True) * inv_m
+            vy = vy + jnp.sum(imp_y, 0, keepdims=True) * inv_m
+            om = om + jnp.sum(
+                d_nl * rxn_l + d_tl * rxt_l + d_nr * rxn_r + d_tr * rxt_r,
+                0, keepdims=True,
+            ) * inv_i
+            qdl = qdl - jnp.sum(d_nl * nly + d_tl * tly, 0, keepdims=True) * inv_fm
+            qdr = qdr - jnp.sum(d_nr * nry + d_tr * try_, 0, keepdims=True) * inv_fm
+
+            # plane friction
+            vsx = vx - om * rsy
+            vsy = vy + om * rsx
+            nsx = lam_sx - sw * mass * vsx
+            nsy = lam_sy - sw * mass * vsy
+            cap_s = SIM.friction_slide * n_i * dt
+            nrm = jnp.sqrt(nsx * nsx + nsy * nsy + 1e-20)
+            sc = jnp.minimum(1.0, cap_s / nrm)
+            nsx = nsx * sc
+            nsy = nsy * sc
+            d_sx = nsx - lam_sx
+            d_sy = nsy - lam_sy
+            vx = vx + jnp.sum(d_sx, 0, keepdims=True) * inv_m
+            vy = vy + jnp.sum(d_sy, 0, keepdims=True) * inv_m
+            om = om + jnp.sum(rsx * d_sy - rsy * d_sx, 0, keepdims=True) * inv_i
+            cap_w = SIM.friction_torsion * n_i * dt
+            new_w = jnp.clip(lam_w - sw * inertia * om, -cap_w, cap_w)
+            d_w = new_w - lam_w
+            om = om + jnp.sum(d_w, 0, keepdims=True) * inv_i
+
+            return (vx, vy, om, qdl, qdr,
+                    new_nl, new_nr, new_tl, new_tr, nsx, nsy, new_w)
+
+        (vx, vy, om, qdl, qdr, *_rest) = jax.lax.fori_loop(
+            0, solver_iters, solve,
+            (vx, vy, om, qdl, qdr,
+             lam_nl, lam_nr, lam_tl, lam_tr, lam_sx, lam_sy, lam_w),
+        )
+
+        return (
+            cx + dt * vx, cy + dt * vy, th + dt * om,
+            vx, vy, om,
+            zb + dt * vz, vz,
+            ql + dt * qdl, qr + dt * qdr, qdl, qdr,
+        )
+
+    state = jax.lax.fori_loop(0, steps, step_body, state)
+    (cx, cy, th, *_r) = state
+
+    two_pi = jnp.float32(2.0 * np.pi)
+    d_theta = th - theta0
+    d_theta = d_theta - two_pi * jnp.round(d_theta / two_pi)
+    c, s = jnp.cos(th), jnp.sin(th)
+    org_x = cx - (c * com_bx - s * com_by)
+    org_y = cy - (s * com_bx + c * com_by)
+    dth_ref[0, 0, :] = d_theta[0, :]
+    dpx_ref[0, 0, :] = (org_x - pose_x)[0, :]
+    dpy_ref[0, 0, :] = (org_y - pose_y)[0, :]
+    fth_ref[0, 0, :] = jnp.mod(th, two_pi)[0, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps", "dt", "regrasp_every", "solver_iters", "ctrl_mag"),
+)
+def profile_batch_pallas(
+    coefs: jnp.ndarray,       # (B, 2, 6, 4)
+    contour: jnp.ndarray,     # (B, P, 2)
+    support: jnp.ndarray,     # (B, S, 4): x, y, weight, pad
+    scalars: jnp.ndarray,     # (B, 1, 8): mass, inertia, fmass, com_x, com_y
+    poses: jnp.ndarray,       # (N, 3) — N must be a multiple of LANE
+    steps: int = SIM.steps_2d,
+    dt: float = SIM.dt,
+    regrasp_every: int = 0,
+    solver_iters: int = SOLVER_ITERS,
+    ctrl_mag: float = SIM.ctrl_2d,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused rollouts: (B pairs) x (N poses) -> (dtheta (B, N),
+    dpos (B, N, 2), final_theta (B, N))."""
+    b, p = contour.shape[0], contour.shape[1]
+    s = support.shape[1]
+    n = poses.shape[0]
+    assert n % LANE == 0, f"pose count {n} must be a multiple of {LANE}"
+    poses_t = poses.T.astype(jnp.float32)          # (3, N)
+
+    kernel = functools.partial(
+        _rollout_kernel,
+        steps=steps,
+        dt=dt,
+        regrasp_every=regrasp_every,
+        solver_iters=solver_iters,
+        ctrl_mag=ctrl_mag,
+    )
+    grid = (b, n // LANE)
+    out_shape = [
+        jax.ShapeDtypeStruct((b, 1, n), jnp.float32) for _ in range(4)
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, LANE), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM)
+        for _ in range(4)
+    ]
+    dth, dpx, dpy, fth = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2, 6, 4), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, 4), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, LANE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(
+        coefs.astype(jnp.float32),
+        contour.astype(jnp.float32),
+        support.astype(jnp.float32),
+        scalars.astype(jnp.float32),
+        poses_t,
+    )
+    dth, dpx, dpy, fth = (a[:, 0, :] for a in (dth, dpx, dpy, fth))
+    dpos = jnp.stack([dpx, dpy], axis=-1)
+    return dth, dpos, fth
+
+
+def scene_arrays(scenes) -> Tuple[jnp.ndarray, ...]:
+    """Stacked Scene2D pytree (leading dim B) -> the dense array inputs of
+    ``profile_batch_pallas``."""
+    # numpy on host (cheap, avoids eager device dispatch), one device_put each
+    coefs = np.stack(
+        [np.asarray(scenes.coef_l), np.asarray(scenes.coef_r)], axis=1
+    )
+    spts = np.asarray(scenes.support_pts)
+    b, s_ = spts.shape[:2]
+    support = np.concatenate(
+        [
+            spts,
+            np.asarray(scenes.support_w)[..., None],
+            np.zeros((b, s_, 1), np.float32),
+        ],
+        axis=-1,
+    )
+    scal = np.zeros((b, 1, 8), np.float32)
+    scal[:, 0, 0] = np.asarray(scenes.mass)
+    scal[:, 0, 1] = np.asarray(scenes.inertia)
+    scal[:, 0, 2] = np.asarray(scenes.finger_mass)
+    scal[:, 0, 3] = np.asarray(scenes.com)[:, 0]
+    scal[:, 0, 4] = np.asarray(scenes.com)[:, 1]
+    return (
+        jnp.asarray(coefs),
+        scenes.contour,
+        jnp.asarray(support),
+        jnp.asarray(scal),
+    )
