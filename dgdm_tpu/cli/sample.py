@@ -1,0 +1,133 @@
+"""Guided-sampling CLI — counterpart of ``generator/guided_sample_2d.sh``
+(``generator/train.py --mode=test --classifier_guidance``).
+
+Loads the trained diffusion (EMA) and dynamics checkpoints, runs unguided +
+guided DDIM for the 12 reference objectives over the test objects, verifies
+every sample with on-device simulation, and writes per-objective best-gripper
+tables as JSON.
+
+Example:
+    python -m dgdm_tpu.cli.sample --diffusion_checkpoint_path runs/diff2d/ckpt/last \
+        --checkpoint_path runs/dyn2d/ckpt/best --save_dir runs/guided2d \
+        --num_fingers 16 --batch_size 16
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgdm_tpu.core.config import GUIDANCE, GUIDED_OBJECTIVES, NORM
+from dgdm_tpu.core.flags import build_parser
+from dgdm_tpu.design.guidance import GuidedSampler2D
+from dgdm_tpu.eval.metrics import best_ids_all_metrics
+from dgdm_tpu.eval.simeval import objectives_table, sim_eval_batch_2d
+from dgdm_tpu.geom.contour import extract_contours
+from dgdm_tpu.models.profile2d import ProfileForward2D
+from dgdm_tpu.models.unet1d import ConditionalUnet1D
+from dgdm_tpu.train import checkpoints
+from dgdm_tpu.train.dynamics import DynamicsTrainer
+from dgdm_tpu.train.generator import GeneratorTrainer
+
+
+def load_test_objects(args):
+    from dgdm_tpu.cli.datagen import load_icon, synthetic_icon
+    from dgdm_tpu.core.config import ICON_TEST_OBJECT_IDS
+
+    ids = list(ICON_TEST_OBJECT_IDS)
+    contours = []
+    for oid in ids:
+        img = (
+            load_icon(args.object_dir, oid)
+            if args.object_dir
+            else synthetic_icon(oid)
+        )
+        contours.append(extract_contours(img))
+    return ids, contours
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.save_dir, exist_ok=True)
+
+    unet = ConditionalUnet1D(input_dim=1)
+    classifier = ProfileForward2D(
+        params_ch=args.ctrlpts_dim, object_ch=2 * args.object_max_num_vertices
+    )
+    gtr = GeneratorTrainer(unet, num_train_timesteps=args.num_train_timesteps)
+    dtr = DynamicsTrainer(classifier,
+                          num_train_timesteps=args.num_train_timesteps)
+
+    b = args.batch_size
+    gstate = gtr.init(jax.random.PRNGKey(0), jnp.zeros((b, args.ctrlpts_dim, 1)))
+    gstate = checkpoints.restore(args.diffusion_checkpoint_path, gstate)
+    ex = {
+        "ctrl": jnp.zeros((2, args.ctrlpts_dim)),
+        "ori": jnp.zeros((2, 1)),
+        "pos": jnp.zeros((2, 2)),
+        "obj": jnp.zeros((2, 2 * args.object_max_num_vertices)),
+        "score": jnp.zeros((2, 3)),
+    }
+    dstate = dtr.init(jax.random.PRNGKey(0), ex)
+    dstate = checkpoints.restore(args.checkpoint_path, dstate)
+    cls_vars = {"params": dstate.params, "batch_stats": dstate.batch_stats}
+
+    ids, contours = load_test_objects(args)
+    obj_flats = jnp.asarray(
+        np.stack([c.reshape(-1) / NORM.object_extent_2d for c in contours])
+    )
+
+    sampler = GuidedSampler2D(
+        unet, classifier, grid_size=args.grid_size, num_pos=args.num_pos,
+        num_train_timesteps=args.num_train_timesteps,
+        num_inference_steps=args.num_inference_steps,
+    )
+
+    # fixed-seed noise like the reference validation (diffusion.py:182-183)
+    rs = np.random.RandomState(args.seed)
+    noise = jnp.asarray(
+        rs.randn(b, args.ctrlpts_dim, 1).astype(np.float32)
+    )
+    unguided = gtr.sample(gstate, noise, args.num_inference_steps)
+
+    report = {}
+    thr0 = NORM.threshold_std(args.fingers_3d)[0]
+    for objective in GUIDED_OBJECTIVES:
+        per_object = {}
+        for oi, (oid, contour) in enumerate(zip(ids, contours)):
+            scale = jnp.asarray(GUIDANCE.scale(args.fingers_3d, objective))
+            centers = None
+            if objective == "convergence":
+                centers = sampler.find_convergence_centers(
+                    cls_vars, unguided, obj_flats[oi], thr0
+                )
+            samples = sampler.sample(
+                gstate.ema_params, cls_vars, noise, obj_flats[oi], objective,
+                scale, centers=centers,
+            )
+            metrics = sim_eval_batch_2d(
+                np.asarray(samples)[..., 0], [contour],
+                num_rot=args.grid_size,
+            )
+            objs = objectives_table(metrics, objective)
+            best = best_ids_all_metrics(objs, objective)
+            per_object[str(oid)] = {
+                "best_ids": best,
+                "best_objectives": {k: objs[v] for k, v in best.items()},
+            }
+            np.save(
+                os.path.join(args.save_dir, f"samples_{objective}_{oid}.npy"),
+                np.asarray(samples),
+            )
+        report[objective] = per_object
+        print(f"objective {objective} done", flush=True)
+    with open(os.path.join(args.save_dir, "guided_report.json"), "w") as f:
+        json.dump(report, f, indent=1, default=str)
+
+
+if __name__ == "__main__":
+    main()

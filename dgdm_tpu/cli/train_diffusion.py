@@ -1,0 +1,73 @@
+"""Diffusion-generator training CLI — counterpart of ``generator/train.py`` +
+``generator/train_diffusion_2d.sh`` (200k procedural grippers, batch 2048,
+1000 epochs, DDIM 15 train timesteps, EMA power 0.85).
+
+Example:
+    python -m dgdm_tpu.cli.train_diffusion --num_fingers 200000 \
+        --batch_size 2048 --num_epochs 1000 --save_dir runs/diff2d
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgdm_tpu.core.flags import build_parser
+from dgdm_tpu.models.unet1d import ConditionalUnet1D
+from dgdm_tpu.train import checkpoints
+from dgdm_tpu.train.data import procedural_grippers
+from dgdm_tpu.train.generator import GeneratorTrainer
+from dgdm_tpu.train.logging import MetricSink
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    train, val = procedural_grippers(args.num_fingers, args.fingers_3d)
+    model = ConditionalUnet1D(input_dim=1)
+    steps_per_epoch = max(1, len(train) // args.batch_size)
+    trainer = GeneratorTrainer(
+        model,
+        learning_rate=args.learning_rate,
+        total_steps=args.num_epochs * steps_per_epoch,
+        num_train_timesteps=args.num_train_timesteps,
+        ema_power=args.ema_power,
+    )
+    state = trainer.init(
+        jax.random.PRNGKey(args.seed), jnp.asarray(train[: args.batch_size])
+    )
+    if args.diffusion_checkpoint_path:
+        state = checkpoints.restore(args.diffusion_checkpoint_path, state)
+
+    sink = MetricSink(args.save_dir, project="gripper_diffusion",
+                      run_name=args.wandb_id)
+    rng = np.random.RandomState(args.seed)
+    key = jax.random.PRNGKey(args.seed + 1)
+    step = 0
+    for epoch in range(args.num_epochs):
+        order = rng.permutation(len(train))
+        for lo in range(0, len(order) - args.batch_size + 1, args.batch_size):
+            batch = jnp.asarray(train[order[lo : lo + args.batch_size]])
+            key, k = jax.random.split(key)
+            state, metrics = trainer.train_step(state, batch, k)
+            step += 1
+            if step % 50 == 0:
+                sink.log({f"train/{m}": v for m, v in metrics.items()}, step)
+        if epoch % args.val_step == 0 and len(val) >= args.batch_size:
+            key, k = jax.random.split(key)
+            vm = trainer.eval_step(
+                state, jnp.asarray(val[: args.batch_size]), k
+            )
+            sink.log({f"val/{m}": float(v) for m, v in vm.items()}, step)
+        if (epoch + 1) % 50 == 0:
+            checkpoints.save(
+                os.path.join(args.save_dir, "ckpt", f"step_{step}"), state
+            )
+    checkpoints.save(os.path.join(args.save_dir, "ckpt", "last"), state)
+    sink.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Dynamics-model training CLI — counterpart of ``dynamics/main.py`` +
+``dynamics/train_dynamics_2d.sh``.
+
+Example:
+    python -m dgdm_tpu.cli.train_dynamics --data_dir data/sim2d \
+        --test_data_dir data/sim2d_val --save_dir runs/dyn2d \
+        --num_epochs 100 --batch_size 4
+(batch_size counts PAIRS; each pair expands to grid_size*num_pos^2 rows like
+the reference's in-loop reshape, dynamics/main.py:143-147.)
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from dgdm_tpu.core.flags import build_parser
+from dgdm_tpu.models.profile2d import ProfileForward2D
+from dgdm_tpu.train import checkpoints
+from dgdm_tpu.train.data import DynamicsData
+from dgdm_tpu.train.dynamics import DynamicsTrainer
+from dgdm_tpu.train.logging import MetricSink
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    train_data = DynamicsData(args.data_dir, args.object_max_num_vertices)
+    val_data = DynamicsData(args.test_data_dir, args.object_max_num_vertices)
+    assert len(train_data) > 0, f"no npz shards under {args.data_dir}"
+
+    model = ProfileForward2D(
+        params_ch=args.ctrlpts_dim,
+        object_ch=2 * args.object_max_num_vertices,
+    )
+    steps_per_epoch = max(1, len(train_data) // max(args.batch_size, 1))
+    trainer = DynamicsTrainer(
+        model,
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        total_steps=args.num_epochs * steps_per_epoch,
+        num_train_timesteps=args.num_train_timesteps,
+    )
+    rng = np.random.RandomState(args.seed)
+    first = next(train_data.batches(args.batch_size, rng))
+    state = trainer.init(jax.random.PRNGKey(args.seed), first)
+    if args.checkpoint_path:
+        state = checkpoints.restore(args.checkpoint_path, state)
+
+    sink = MetricSink(args.save_dir, project="dynamics_model",
+                      run_name=args.wandb_id)
+    key = jax.random.PRNGKey(args.seed + 1)
+
+    def run_eval():
+        nonlocal key
+        ms = []
+        for batch in val_data.batches(args.batch_size, rng, shuffle=False):
+            key, k = jax.random.split(key)
+            ms.append(trainer.eval_step(state, batch, k))
+        return {
+            f"val/{m}": float(np.mean([float(x[m]) for x in ms]))
+            for m in ms[0]
+        } if ms else {}
+
+    if args.mode == "validate":
+        print(run_eval())
+        return
+
+    best_val = float("inf")
+    last_best = 0
+    step = 0
+    for epoch in range(args.num_epochs):
+        for batch in train_data.batches(args.batch_size, rng):
+            key, k = jax.random.split(key)
+            state, metrics = trainer.train_step(state, batch, k)
+            step += 1
+            if step % 20 == 0:
+                sink.log({f"train/{m}": v for m, v in metrics.items()}, step)
+            if step % args.save_ckpt_step == 0:
+                checkpoints.save(
+                    os.path.join(args.save_dir, "ckpt", f"step_{step}"), state
+                )
+        if epoch % args.val_step == 0 and len(val_data) > 0:
+            vm = run_eval()
+            sink.log(vm, step)
+            if vm.get("val/loss", float("inf")) < best_val:
+                best_val = vm["val/loss"]
+                checkpoints.save(os.path.join(args.save_dir, "ckpt", "best"),
+                                 state)
+                last_best = epoch
+            elif epoch - last_best >= args.patience:
+                print("early stopping")
+                break
+    checkpoints.save(os.path.join(args.save_dir, "ckpt", "last"), state)
+    sink.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -44,11 +44,17 @@ def profile_pairs_2d(
 
     Returns dict with delta_theta (B, N), delta_pos (B, N, 2), final_theta."""
     n = poses.shape[0]
+    if jax.default_backend() != "tpu":
+        use_pallas = False  # Mosaic kernels compile on TPU only
     if use_pallas and calib is None:
         from dgdm_tpu.sim import pallas2d
 
         pad = (-n) % pallas2d.LANE
-        poses_p = np.concatenate([poses, poses[: pad or 0]], axis=0) if pad else poses
+        if pad:
+            filler = np.broadcast_to(poses[-1], (pad,) + poses.shape[1:])
+            poses_p = np.concatenate([poses, filler], axis=0)
+        else:
+            poses_p = poses
         arrs = pallas2d.scene_arrays(scenes)
         dth, dpos, fth = pallas2d.profile_batch_pallas(
             *arrs, jnp.asarray(poses_p)
