@@ -44,7 +44,14 @@ def pose_grid_normalized(
 
 class GuidedSampler2D:
     """Bundles the (frozen) dynamics classifier and the (EMA) denoiser into a
-    single jitted guided-sampling program for 2D grippers."""
+    single jitted guided-sampling program.
+
+    Works for both 2D and 3D grippers: the sample is the control y-vector
+    (B, L, 1); the classifier must expose ``encode_object`` / ``trunk``
+    methods (ProfileForward2D/3D). The object is encoded ONCE per sampling
+    call — the reference re-encodes the tiled object for every pose-grid row
+    (``generator/diffusion.py:485,491``).
+    """
 
     def __init__(
         self,
@@ -67,8 +74,16 @@ class GuidedSampler2D:
 
     # -- classifier plumbing -------------------------------------------------
 
-    def _classifier_fwd(self, cls_vars, ctrl, ori, pos, t, obj):
-        return self.classifier.apply(cls_vars, ctrl, ori, pos, t, obj, train=False)
+    def _encode_object(self, cls_vars, obj):
+        """obj (obj_dims...) -> (W,) feature (batch dim added/removed)."""
+        return self.classifier.apply(
+            cls_vars, obj[None], train=False, method="encode_object"
+        )[0]
+
+    def _trunk(self, cls_vars, ctrl, ori, pos, t, obj_feat):
+        return self.classifier.apply(
+            cls_vars, ctrl, ori, pos, t, obj_feat, train=False, method="trunk"
+        )
 
     def _objective_weights(
         self, objective: str, centers: Optional[jnp.ndarray], batch: int
@@ -97,12 +112,13 @@ class GuidedSampler2D:
         cls_vars,
         x: jnp.ndarray,
         t: jnp.ndarray,
-        obj_flat: jnp.ndarray,
+        obj_feat: jnp.ndarray,
         weights: jnp.ndarray,
         rotate_sq: bool,
         poses: jnp.ndarray,
     ) -> jnp.ndarray:
-        """d(sum objective over pose grid)/dx. x (B, L, 1); poses (N, 3)."""
+        """d(sum objective over pose grid)/dx. x (B, L, 1); poses (N, 3);
+        obj_feat (W,) precomputed object feature."""
         b, l, _ = x.shape
         n = poses.shape[0]
         chunk = n // self.pose_chunks
@@ -120,11 +136,8 @@ class GuidedSampler2D:
             ctrl = jnp.broadcast_to(xf[None], (c, b, l)).reshape(c * b, l)
             ori = jnp.repeat(pose_chunk[:, 0:1], b, axis=0)
             pos = jnp.repeat(pose_chunk[:, 1:3], b, axis=0)
-            obj = jnp.broadcast_to(
-                obj_flat[None, None], (c, b, obj_flat.shape[-1])
-            ).reshape(c * b, -1)
             tt = jnp.full((c * b,), t_resc)
-            deltas = self._classifier_fwd(cls_vars, ctrl, ori, pos, tt, obj)
+            deltas = self._trunk(cls_vars, ctrl, ori, pos, tt, obj_feat[None])
             deltas = deltas.reshape(c, b, 3)
             if rotate_sq:
                 return jnp.sum(deltas[..., 0] ** 2)
@@ -157,6 +170,7 @@ class GuidedSampler2D:
             pose_grid_normalized(self.grid_size, self.num_pos, ori_range)
         )
         weights, rotate_sq = self._objective_weights(objective, centers, b)
+        obj_feat = self._encode_object(cls_vars, obj_flat)
         ts = jnp.asarray(
             ddim.inference_timesteps(
                 self.num_train_timesteps, self.num_inference_steps
@@ -170,7 +184,7 @@ class GuidedSampler2D:
             t, pt = tp
             tb = jnp.full((b,), t)
             eps = self.unet.apply({"params": unet_params}, x, tb)
-            g = self.cond_grad(cls_vars, x, t, obj_flat, weights, rotate_sq, poses)
+            g = self.cond_grad(cls_vars, x, t, obj_feat, weights, rotate_sq, poses)
             abar = self.sched.alphas_cumprod[t]
             eps = eps - jnp.sqrt(1.0 - abar) * g * scale
             return ddim.ddim_step(self.sched, eps, t, pt, x), None
@@ -195,6 +209,9 @@ class GuidedSampler2D:
             pose_grid_normalized(self.grid_size, self.num_pos, ori_range)
         )
         weights, rotate_sq = self._objective_weights(objective, None, b)
+        obj_feats = jax.vmap(lambda o: self._encode_object(cls_vars, o))(
+            obj_flats
+        )
         ts = jnp.asarray(
             ddim.inference_timesteps(
                 self.num_train_timesteps, self.num_inference_steps
@@ -213,7 +230,7 @@ class GuidedSampler2D:
                     lambda of: self.cond_grad(
                         cls_vars, x, t, of, weights, rotate_sq, poses
                     )
-                )(obj_flats),
+                )(obj_feats),
                 axis=0,
             )
             abar = self.sched.alphas_cumprod[t]
@@ -238,9 +255,9 @@ class GuidedSampler2D:
         ctrl = jnp.broadcast_to(x[..., 0][None], (g, b, l)).reshape(g * b, l)
         orif = jnp.repeat(ori[:, None], b, axis=0)
         pos = jnp.zeros((g * b, 2))
-        obj = jnp.broadcast_to(obj_flat[None], (g * b, obj_flat.shape[-1]))
+        obj_feat = self._encode_object(cls_vars, obj_flat)
         tt = jnp.zeros((g * b,))
-        d0 = self._classifier_fwd(cls_vars, ctrl, orif, pos, tt, obj)[..., 0]
+        d0 = self._trunk(cls_vars, ctrl, orif, pos, tt, obj_feat[None])[..., 0]
         d0 = d0.reshape(g, b).T                               # (B, G)
         return jnp.where(
             d0 > threshold_std0, 2, jnp.where(d0 < -threshold_std0, 0, 1)
@@ -254,3 +271,7 @@ class GuidedSampler2D:
             cls_vars, unguided, obj_flat, jnp.asarray(threshold_std0)
         )
         return convergence_centers(cls, self.grid_size)
+
+
+# alias: the sampler is dimension-agnostic (2D/3D classifiers both work)
+GuidedSampler = GuidedSampler2D

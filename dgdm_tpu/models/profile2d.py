@@ -6,11 +6,13 @@ and flattened object contour, NeRF positional embeddings for pose, sinusoidal
 timestep embedding through a SiLU MLP, then an 8-block Dense+BatchNorm+ReLU
 trunk and a linear head predicting the whitened
 (delta_theta, delta_x, delta_y).
+
+``encode_object``/``trunk`` are exposed separately so the guidance loop can
+encode each (static) object once per denoise step instead of once per
+pose-grid row.
 """
 
 from __future__ import annotations
-
-from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -44,24 +46,40 @@ class ProfileForward2D(nn.Module):
     multires: int = 4
     num_trunk: int = 8
 
-    @nn.compact
-    def __call__(self, ctrl, ori, pos, t, obj, train: bool = False):
+    def setup(self):
         w = self.width
-        x_ctrl = MLP2(w, "relu", name="gripper_encoder")(ctrl)
-        x_obj = MLP2(w, "relu", name="object_encoder")(obj)
+        self.gripper_encoder = MLP2(w, "relu")
+        self.object_encoder = MLP2(w, "relu")
+        self.time_in = nn.Dense(w)
+        self.time_out = nn.Dense(w)
+        self.trunk_layers = [nn.Dense(w, name=f"trunk_{i}")
+                             for i in range(self.num_trunk)]
+        self.trunk_bns = [
+            nn.BatchNorm(momentum=0.9, name=f"bn_{i}")
+            for i in range(self.num_trunk)
+        ]
+        self.head = nn.Dense(self.output_ch)
+
+    def __call__(self, ctrl, ori, pos, t, obj, train: bool = False):
+        feat = self.encode_object(obj, train)
+        return self.trunk(ctrl, ori, pos, t, feat, train)
+
+    def encode_object(self, obj, train: bool = False):
+        """Object geometry -> (..., W) feature."""
+        return self.object_encoder(obj)
+
+    def trunk(self, ctrl, ori, pos, t, obj_feat, train: bool = False):
+        w = self.width
+        x_ctrl = self.gripper_encoder(ctrl)
         x_ori = nerf_embed(ori, self.multires)
         x_pos = nerf_embed(pos, self.multires)
         t_emb = timestep_embedding(t, w // 2)
-        t_emb = nn.Dense(w, name="time_in")(t_emb)
-        t_emb = nn.silu(t_emb)
-        t_emb = nn.Dense(w, name="time_out")(t_emb)
-        x = jnp.concatenate([x_obj, x_ctrl, x_ori, x_pos, t_emb], axis=-1)
-        for i in range(self.num_trunk):
-            x = nn.Dense(w, name=f"trunk_{i}")(x)
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                name=f"bn_{i}",
-            )(x)
-            x = nn.relu(x)
-        return nn.Dense(self.output_ch, name="head")(x)
+        t_emb = self.time_out(nn.silu(self.time_in(t_emb)))
+        if obj_feat.shape[:-1] != x_ctrl.shape[:-1]:
+            obj_feat = jnp.broadcast_to(
+                obj_feat, x_ctrl.shape[:-1] + obj_feat.shape[-1:]
+            )
+        x = jnp.concatenate([obj_feat, x_ctrl, x_ori, x_pos, t_emb], axis=-1)
+        for dense, bn in zip(self.trunk_layers, self.trunk_bns):
+            x = nn.relu(bn(dense(x), use_running_average=not train))
+        return self.head(x)

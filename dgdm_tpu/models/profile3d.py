@@ -8,6 +8,11 @@ and — reference quirk preserved — the raw sinusoidal timestep embedding is f
 to the trunk directly (a ``time_encoder`` exists in the reference but is never
 called in ``forward``; ``profile_forward_3d.py:83``). Trunk starts at width
 2W then 7 blocks at W.
+
+``encode_object``/``trunk`` split: the PointNet++ encoding of a (static)
+object is computed once per guidance step, not once per pose-grid row — the
+reference instead re-encodes the tiled point cloud for all 9,000 poses
+(``generator/diffusion.py:491``).
 """
 
 from __future__ import annotations
@@ -32,20 +37,37 @@ class ProfileForward3D(nn.Module):
     output_ch: int = 3
     multires: int = 4
 
-    @nn.compact
-    def __call__(self, ctrl, ori, pos, t, obj, train: bool = False):
+    def setup(self):
         w = self.width
-        x_ctrl = MLP2(w, "relu", name="gripper_encoder")(ctrl)
-        x_obj = PointNet2(w, name="object_encoder")(obj, train)
+        self.gripper_encoder = MLP2(w, "relu")
+        self.object_encoder = PointNet2(w)
+        widths = [2 * w] + [w] * 7
+        self.trunk_layers = [
+            nn.Dense(wd, name=f"trunk_{i}") for i, wd in enumerate(widths)
+        ]
+        self.trunk_bns = [
+            nn.BatchNorm(momentum=0.9, name=f"bn_{i}")
+            for i in range(len(widths))
+        ]
+        self.head = nn.Dense(self.output_ch)
+
+    def __call__(self, ctrl, ori, pos, t, obj, train: bool = False):
+        feat = self.encode_object(obj, train)
+        return self.trunk(ctrl, ori, pos, t, feat, train)
+
+    def encode_object(self, obj, train: bool = False):
+        return self.object_encoder(obj, train)
+
+    def trunk(self, ctrl, ori, pos, t, obj_feat, train: bool = False):
+        x_ctrl = self.gripper_encoder(ctrl)
         x_ori = nerf_embed(ori, self.multires)
         x_pos = nerf_embed(pos, self.multires)
-        t_emb = timestep_embedding(t, w)   # fed raw (reference quirk)
-        x = jnp.concatenate([x_obj, x_ctrl, x_ori, x_pos, t_emb], axis=-1)
-        widths = [2 * w] + [w] * 7
-        for i, wd in enumerate(widths):
-            x = nn.Dense(wd, name=f"trunk_{i}")(x)
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, name=f"bn_{i}"
-            )(x)
-            x = nn.relu(x)
-        return nn.Dense(self.output_ch, name="head")(x)
+        t_emb = timestep_embedding(t, self.width)  # fed raw (reference quirk)
+        if obj_feat.shape[:-1] != x_ctrl.shape[:-1]:
+            obj_feat = jnp.broadcast_to(
+                obj_feat, x_ctrl.shape[:-1] + obj_feat.shape[-1:]
+            )
+        x = jnp.concatenate([obj_feat, x_ctrl, x_ori, x_pos, t_emb], axis=-1)
+        for dense, bn in zip(self.trunk_layers, self.trunk_bns):
+            x = nn.relu(bn(dense(x), use_running_average=not train))
+        return self.head(x)

@@ -1,0 +1,109 @@
+"""3D interaction-profile data generation — counterpart of ``sim/sim_3d.py`` +
+``sim/run_sim_3d.sh`` (300 objects x 2000 grippers, 800-step rollouts,
+tip-over give-up).
+
+Objects are watertight meshes (the reference uses the MuJoCo scanned-objects
+dataset, ``model.obj`` per object directory). The give-up semantics
+(``sim/sim_3d.py:159-161``) become per-rollout validity masks; a pair record
+is only written when ALL rollouts stay upright, matching the reference's
+all-or-nothing npz output.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgdm_tpu.core.config import GRIPPER_3D, SIM
+from dgdm_tpu.geom.fingers import ctrlpts_3d, sample_gripper_3d
+from dgdm_tpu.geom.spline import gripper3d_surface
+from dgdm_tpu.sim import engine3d
+from dgdm_tpu.sim.engine2d import pose_grid
+
+
+def surface_points_3d(yl: np.ndarray, yr: np.ndarray,
+                      sample_size: int = 25) -> np.ndarray:
+    """Reference `allpts`: both finger surfaces evaluated on the geomdl grid
+    (assets/finger_3d.py:59-67): (2 * sample_size^2, 3)."""
+    g = GRIPPER_3D
+    surf = gripper3d_surface()
+    basis = np.asarray(surf.grid_basis(sample_size))
+    uu = np.linspace(0, 1, sample_size)
+    # geomdl grid x/z coordinates from the same basis applied to the lattices
+    from dgdm_tpu.geom.spline import bspline_basis, clamped_knot_vector
+
+    bu = bspline_basis(g.degree_u, clamped_knot_vector(g.degree_u, g.nu), g.nu, uu)
+    bv = bspline_basis(g.degree_v, clamped_knot_vector(g.degree_v, g.nv), g.nv, uu)
+    xs = bu @ np.linspace(g.ctrl_x_min, g.ctrl_x_max, g.nu)
+    zs = bv @ np.linspace(g.ctrl_z_min, g.ctrl_z_max, g.nv)
+    xg = np.repeat(xs, sample_size)
+    zg = np.tile(zs, sample_size)
+    out = []
+    for y in (yl, yr):
+        yg = basis @ np.asarray(y).reshape(-1)
+        out.append(np.stack([xg, yg, zg], -1))
+    return np.concatenate(out, 0)
+
+
+def generate_3d(
+    object_idx: int,
+    object_name: str,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    gripper_indices: Sequence[int],
+    save_dir: Optional[str] = None,
+    grid_size: int = SIM.grid_size,
+    num_pos: int = SIM.num_pos,
+    steps: int = SIM.steps_3d,
+    pose_chunk: int = 450,
+) -> List[Optional[Dict[str, np.ndarray]]]:
+    """Profiles for one object x a block of grippers. Entries are None for
+    pairs that tipped the object over (reference give-up)."""
+    grips = [sample_gripper_3d(i) for i in gripper_indices]
+    scenes = [engine3d.make_scene(yl, yr, verts, faces) for yl, yr in grips]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+    poses = pose_grid(grid_size=grid_size, num_pos=num_pos)
+
+    dth, dpos, fth, valid = [], [], [], []
+    for lo in range(0, poses.shape[0], pose_chunk):
+        block = jnp.asarray(poses[lo : lo + pose_chunk])
+        o = engine3d.profile_batch(stacked, block, steps=steps)
+        dth.append(np.asarray(o[0]))
+        dpos.append(np.asarray(o[1]))
+        fth.append(np.asarray(o[2]))
+        valid.append(np.asarray(o[3]))
+    dth = np.concatenate(dth, 1)
+    dpos = np.concatenate(dpos, 1)
+    valid = np.concatenate(valid, 1)
+
+    records: List[Optional[Dict[str, np.ndarray]]] = []
+    theta0 = poses[:, 2].astype(np.float32)
+    obj_pos = np.concatenate(
+        [poses[:, :2], np.zeros((poses.shape[0], 1))], axis=1
+    ).astype(np.float32)
+    for b, (gi, (yl, yr)) in enumerate(zip(gripper_indices, grips)):
+        if not valid[b].all():
+            records.append(None)  # give up: object not upright
+            continue
+        rec = {
+            "ctrlpts": ctrlpts_3d(yl, yr).astype(np.float32),
+            "allpts": surface_points_3d(yl, yr).astype(np.float32),
+            "object_name": object_name,
+            "obj_pos": obj_pos,
+            "obj_theta": theta0,
+            "delta_theta": dth[b].astype(np.float32),
+            "delta_pos": np.concatenate(
+                [dpos[b], np.zeros((poses.shape[0], 1))], 1
+            ).astype(np.float32),
+        }
+        records.append(rec)
+        if save_dir is not None:
+            os.makedirs(save_dir, exist_ok=True)
+            np.savez_compressed(
+                os.path.join(save_dir, "%d_%d.npz" % (object_idx, gi)), rec
+            )
+    return records

@@ -87,7 +87,7 @@ def make_scene(
     yl: np.ndarray,
     yr: np.ndarray,
     contour: np.ndarray,
-    support_grid: int = 12,
+    support_grid: int = 8,
 ) -> Scene2D:
     """Host-side scene construction from raw control points + object contour.
 

@@ -94,6 +94,96 @@ class DynamicsData:
             }
 
 
+def normalize_record_3d(
+    rec: Dict[str, np.ndarray],
+    object_points: np.ndarray,
+) -> Dict[str, np.ndarray]:
+    """3D npz record -> normalized training rows (dataloader.py:48-66).
+
+    ctrl is the y-row only (the model consumes just that,
+    profile_forward_3d.py:78); object_points (P, 3) pre-sampled from the
+    object mesh, normalized here."""
+    g, nm = GRIPPER_3D, NORM
+    n = rec["obj_theta"].shape[0]
+    y = rec["ctrlpts"][:, 1]
+    ctrl = (y - g.ctrl_y_min) / (g.ctrl_y_max - g.ctrl_y_min) * 2.0 - 1.0
+    ctrl = np.broadcast_to(ctrl, (n, ctrl.shape[0]))
+    ori = (rec["obj_theta"] / np.pi - 1.0)[:, None]
+    pos = rec["obj_pos"][:, :2] / nm.pos_scale
+    pts = np.array(object_points, dtype=np.float64)
+    e = nm.object_extent_3d_xy
+    pts[:, 0] = (pts[:, 0] + e) / (2 * e) * 2.0 - 1.0
+    pts[:, 1] = (pts[:, 1] + e) / (2 * e) * 2.0 - 1.0
+    pts[:, 2] = (
+        (pts[:, 2] - nm.object_z_min_3d)
+        / (nm.object_z_max_3d - nm.object_z_min_3d) * 2.0 - 1.0
+    )
+    obj = np.broadcast_to(pts, (n,) + pts.shape)
+    std = np.asarray(nm.std_3d)
+    score = np.stack(
+        [
+            rec["delta_theta"] / std[0],
+            rec["delta_pos"][:, 0] / std[1],
+            rec["delta_pos"][:, 1] / std[2],
+        ],
+        axis=1,
+    )
+    return {
+        "ctrl": ctrl.astype(np.float32),
+        "ori": ori.astype(np.float32),
+        "pos": pos.astype(np.float32),
+        "obj": obj.astype(np.float32),
+        "score": score.astype(np.float32),
+    }
+
+
+class DynamicsData3D:
+    """Shard-reading dataset for 3D dynamics training. Object point clouds are
+    sampled once per object name and cached (dataloader.py:55-66)."""
+
+    def __init__(self, dataset_dir: str, object_mesh_dir: str,
+                 num_points: int = 512):
+        self.files: List[str] = []
+        for root, _, files in os.walk(dataset_dir):
+            for f in files:
+                if f.endswith(".npz"):
+                    self.files.append(os.path.join(root, f))
+        self.files.sort()
+        self.mesh_dir = object_mesh_dir
+        self.num_points = num_points
+        self._cache: Dict[str, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def _points(self, name: str) -> np.ndarray:
+        if name not in self._cache:
+            from dgdm_tpu.geom import mesh3d
+
+            verts, faces = mesh3d.load_obj(
+                os.path.join(self.mesh_dir, name, "model.obj")
+            )
+            self._cache[name] = mesh3d.sample_surface(
+                verts, faces, self.num_points
+            )
+        return self._cache[name]
+
+    def load(self, idx: int) -> Dict[str, np.ndarray]:
+        rec = np.load(self.files[idx], allow_pickle=True)["arr_0"].item()
+        return normalize_record_3d(rec, self._points(str(rec["object_name"])))
+
+    def batches(self, pairs_per_batch: int, rng: np.random.RandomState,
+                shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.files))
+        if shuffle:
+            rng.shuffle(order)
+        for lo in range(0, len(order), pairs_per_batch):
+            recs = [self.load(i) for i in order[lo : lo + pairs_per_batch]]
+            yield {
+                k: np.concatenate([r[k] for r in recs], axis=0) for k in recs[0]
+            }
+
+
 def procedural_grippers(
     total: int, fingers_3d: bool = False
 ) -> Tuple[np.ndarray, np.ndarray]:

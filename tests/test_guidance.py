@@ -43,22 +43,17 @@ def test_pose_grid_layout():
 def test_cond_grad_shape_and_direction(setup):
     sampler, unet_params, cls_vars = setup
     x = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (2, 14, 1))
-    obj = jnp.zeros((20,))
+    obj_feat = sampler._encode_object(cls_vars, jnp.zeros((20,)))
+    assert obj_feat.shape == (32,)
     poses = jnp.asarray(pose_grid_normalized(12, 2))
     w, sq = sampler._objective_weights("rotate_counterclockwise", None, 2)
-    g = sampler.cond_grad(cls_vars, x, jnp.asarray(3), obj, w, sq, poses)
+    g = sampler.cond_grad(cls_vars, x, jnp.asarray(3), obj_feat, w, sq, poses)
     assert g.shape == x.shape
     assert np.isfinite(np.asarray(g)).all()
-    # ascent along g increases the objective
-    def total(xx):
-        out = 0.0
-        for lo in range(0, 12 * 4, 12):
-            pass
-        return out
     eps = 1e-3
     w2, _ = sampler._objective_weights("rotate_counterclockwise", None, 2)
     g2 = sampler.cond_grad(
-        cls_vars, x + eps * g, jnp.asarray(3), obj, w2, sq, poses
+        cls_vars, x + eps * g, jnp.asarray(3), obj_feat, w2, sq, poses
     )
     # direction consistency: the gradient field is smooth, so successive
     # gradients should be positively aligned
