@@ -1,0 +1,61 @@
+"""Tracing / profiling utilities.
+
+The reference has only ad-hoc commented ``@profile`` decorators
+(``sim/sim_3d.py:107``). Here: a step timer that logs through the metric sink
+and a context manager around ``jax.profiler`` traces for xprof/tensorboard.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Optional
+
+
+class StepTimer:
+    """EWMA step timing with throughput accounting."""
+
+    def __init__(self, alpha: float = 0.1):
+        self.alpha = alpha
+        self.ewma: Optional[float] = None
+        self._t0: Optional[float] = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        dt = time.perf_counter() - self._t0
+        self.ewma = dt if self.ewma is None else (
+            self.alpha * dt + (1 - self.alpha) * self.ewma
+        )
+        return False
+
+    def metrics(self, items_per_step: float = 1.0) -> Dict[str, float]:
+        if self.ewma is None:
+            return {}
+        return {
+            "perf/step_seconds": self.ewma,
+            "perf/items_per_second": items_per_step / self.ewma,
+        }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace context (view with xprof / tensorboard)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def annotate(name: str):
+    """Named region for xprof timelines."""
+    import jax
+
+    with jax.profiler.TraceAnnotation(name):
+        yield

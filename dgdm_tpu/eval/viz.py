@@ -1,0 +1,182 @@
+"""Visualization — counterparts of the reference's plotting and rendering.
+
+- ``visualize_profile`` / ``visualize_ctrlpts`` / ``visualize_finals``:
+  the matplotlib plots of ``dynamics/utils.py:20-80``.
+- ``render_gripper_2d`` / ``render_object_silhouette``: replaces the MuJoCo
+  offscreen renderer (``sim/render_mesh.py:23-65``) with an analytic
+  rasterization — gripper portraits from the spline curves, per-orientation
+  object silhouettes from the rotated contour polygon (the reference only
+  uses the segmentation channel, which is exactly the polygon mask).
+- ``rollout_video_2d``: frame sequence of a squeeze (object mask + finger
+  curves per step), exportable as mp4 via imageio.
+
+All functions are host-side and import matplotlib lazily.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from dgdm_tpu.core.config import GRIPPER_2D
+from dgdm_tpu.geom.polygon import points_in_polygon
+from dgdm_tpu.geom.spline import cubic_basis_matrix
+
+
+def visualize_profile(profile: np.ndarray, save_path: str,
+                      ori_range=(-1.0, 1.0)) -> None:
+    """Polar quiver of a signed 3-class profile (dynamics/utils.py:29-44)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    signs = np.sign(profile)
+    thetas = np.linspace(
+        ori_range[0] * np.pi + np.pi, ori_range[1] * np.pi + np.pi, len(profile)
+    )
+    theta, r = np.meshgrid(thetas, np.array([1]))
+    u = -2 * np.pi / len(profile) * np.sin(theta) * signs
+    v = 2 * np.pi / len(profile) * np.cos(theta) * signs
+    f = plt.figure(figsize=(8, 8))
+    ax = f.add_subplot(polar=True)
+    ax.quiver(theta, r, u, v, profile, scale=1, width=0.005, cmap="bwr")
+    plt.savefig(save_path)
+    plt.close(f)
+
+
+def visualize_ctrlpts(ctrlpts: np.ndarray, save_path: str) -> None:
+    """Two-panel control-point scatter (dynamics/utils.py:70-80)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = ctrlpts.shape[0] // 2
+    f = plt.figure()
+    for i, sl in enumerate((slice(0, n), slice(n, 2 * n))):
+        ax = f.add_subplot(2, 1, i + 1)
+        ax.set(xlim=(-0.12, 0.12), ylim=(-0.045, 0.015))
+        ax.scatter(ctrlpts[sl, 0], ctrlpts[sl, 1])
+    plt.savefig(save_path)
+    plt.close(f)
+
+
+def visualize_finals(finals: np.ndarray, save_path: str) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    f = plt.figure(figsize=(10, 6))
+    ax = f.add_subplot(111)
+    ax.set(ylim=(0, 2 * np.pi))
+    ax.scatter(np.arange(len(finals)), np.asarray(finals) * np.pi / 180.0, s=2)
+    plt.savefig(save_path)
+    plt.close(f)
+
+
+def _raster_polygon(poly: np.ndarray, size: int = 128,
+                    extent: float = 0.2) -> np.ndarray:
+    """Rasterize a polygon to a boolean (size, size) mask over
+    [-extent/2, extent/2]^2 (world meters, y up)."""
+    xs = (np.arange(size) + 0.5) / size * extent - extent / 2
+    gx, gy = np.meshgrid(xs, xs, indexing="xy")
+    pts = np.stack([gx.reshape(-1), gy.reshape(-1)], -1)
+    return points_in_polygon(pts, poly).reshape(size, size)
+
+
+def render_object_silhouette(
+    contour: np.ndarray, theta: float, size: int = 128, extent: float = 0.2
+) -> np.ndarray:
+    """Segmentation-style object mask at orientation theta — the analytic
+    version of sim/render_mesh.py:39-65."""
+    c, s = np.cos(theta), np.sin(theta)
+    rot = np.array([[c, -s], [s, c]])
+    return _raster_polygon(contour @ rot.T, size, extent)
+
+
+def _finger_curves(yl: np.ndarray, yr: np.ndarray, num: int = 200):
+    g = GRIPPER_2D
+    xq = np.linspace(g.ctrl_x_min, g.ctrl_x_max, num)
+    basis = np.asarray(
+        cubic_basis_matrix(g.num_ctrl, g.ctrl_x_min, g.ctrl_x_max, xq)
+    )
+    return xq, basis @ np.asarray(yl), basis @ np.asarray(yr)
+
+
+def render_gripper_2d(
+    yl: np.ndarray, yr: np.ndarray, save_path: Optional[str] = None,
+    size: int = 256,
+):
+    """Gripper portrait (replaces sim/render_mesh.py:23-37): both finger
+    strips drawn at their jaw offsets."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    g = GRIPPER_2D
+    xq, cl, cr = _finger_curves(yl, yr)
+    f = plt.figure(figsize=(size / 100, size / 100), dpi=100)
+    ax = f.add_subplot(111)
+    ax.fill_between(xq, cl - g.jaw_offset, cl - g.jaw_offset + g.width,
+                    color="#EEC759")
+    ax.fill_between(xq, cr + g.jaw_offset, cr + g.jaw_offset + g.width,
+                    color="#B1C381")
+    ax.set(xlim=(-0.15, 0.15), ylim=(-0.25, 0.25))
+    ax.set_aspect("equal")
+    ax.axis("off")
+    if save_path:
+        plt.savefig(save_path, bbox_inches="tight")
+        plt.close(f)
+        return save_path
+    f.canvas.draw()
+    img = np.asarray(f.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(f)
+    return img
+
+
+def rollout_video_2d(
+    contour: np.ndarray,
+    yl: np.ndarray,
+    yr: np.ndarray,
+    traj: Sequence,  # iterable of (obj_x, obj_y, theta, ql, qr)
+    save_path: str,
+    size: int = 128,
+    extent: float = 0.5,
+    fps: int = 20,
+    stride: int = 10,
+) -> str:
+    """Squeeze video (replaces the segmentation-render mp4 path of
+    dynamics/sim_test_mj.py:219-233)."""
+    import imageio
+
+    g = GRIPPER_2D
+    xq, cl, cr = _finger_curves(yl, yr, 64)
+    colors = np.array(
+        [[255, 247, 212], [155, 184, 205], [238, 199, 89], [177, 195, 129]],
+        dtype=np.uint8,
+    )
+    xs = (np.arange(size) + 0.5) / size * extent - extent / 2
+    gx, gy = np.meshgrid(xs, xs, indexing="xy")
+    with imageio.get_writer(save_path, fps=fps) as w:
+        for frame in list(traj)[::stride]:
+            ox, oy, th, ql, qr = frame
+            c, s = np.cos(th), np.sin(th)
+            rot = np.array([[c, -s], [s, c]])
+            poly = contour @ rot.T + [ox, oy]
+            seg = np.zeros((size, size), dtype=np.int64)
+            mask = points_in_polygon(
+                np.stack([gx.reshape(-1), gy.reshape(-1)], -1), poly
+            ).reshape(size, size)
+            seg[mask] = 1
+            # finger bands
+            yl_low = np.interp(gx, xq, cl) - g.jaw_offset + ql
+            yr_low = np.interp(gx, xq, cr) + g.jaw_offset + qr
+            in_x = (gx >= g.ctrl_x_min) & (gx <= g.ctrl_x_max)
+            seg[(gy >= yl_low) & (gy <= yl_low + g.width) & in_x] = 2
+            seg[(gy >= yr_low) & (gy <= yr_low + g.width) & in_x] = 3
+            w.append_data(colors[seg[::-1]])  # flip y for image coords
+    return save_path

@@ -63,16 +63,18 @@ def _trace_boundary(mask: np.ndarray) -> np.ndarray:
     comp = (labels == (1 + int(np.argmax(sizes))))
     ys, xs = np.nonzero(comp)
     start = (ys[np.lexsort((xs, ys))[0]], xs[np.lexsort((xs, ys))[0]])
-    # Moore neighborhood, clockwise starting from west
+    # Moore neighborhood (N, NE, E, SE, S, SW, W, NW); start scanning from
+    # the W neighbour of the top-left-most pixel (guaranteed outside)
     nbrs = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1)]
     contour = [start]
-    prev_dir = 0
+    prev_dir = 2  # pretend we arrived moving east
+    first_move = None
     cur = start
     h, w = comp.shape
     for _ in range(8 * comp.sum()):
         found = False
         for k in range(8):
-            d = (prev_dir + 6 + k) % 8  # backtrack then sweep clockwise
+            d = (prev_dir + 5 + k) % 8  # backtrack + 1, sweep clockwise
             ny, nx = cur[0] + nbrs[d][0], cur[1] + nbrs[d][1]
             if 0 <= ny < h and 0 <= nx < w and comp[ny, nx]:
                 cur = (ny, nx)
@@ -80,7 +82,11 @@ def _trace_boundary(mask: np.ndarray) -> np.ndarray:
                 contour.append(cur)
                 found = True
                 break
-        if not found or (cur == start and len(contour) > 2):
+        if not found:
+            break
+        if first_move is None:
+            first_move = prev_dir
+        elif cur == start and prev_dir == first_move:
             break
     pts = np.asarray(contour, dtype=np.float64)
     return pts[:, ::-1]  # (x, y)
