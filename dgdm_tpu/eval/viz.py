@@ -153,6 +153,14 @@ def rollout_video_2d(
     dynamics/sim_test_mj.py:219-233)."""
     import imageio
 
+    try:
+        writer = imageio.get_writer(save_path, fps=fps)
+    except ValueError:
+        # no mp4 backend in this environment: fall back to GIF
+        save_path = save_path.rsplit(".", 1)[0] + ".gif"
+        writer = imageio.get_writer(save_path, fps=fps)
+    writer.close()
+
     g = GRIPPER_2D
     xq, cl, cr = _finger_curves(yl, yr, 64)
     colors = np.array(
@@ -161,7 +169,7 @@ def rollout_video_2d(
     )
     xs = (np.arange(size) + 0.5) / size * extent - extent / 2
     gx, gy = np.meshgrid(xs, xs, indexing="xy")
-    with imageio.get_writer(save_path, fps=fps) as w:
+    with imageio.get_writer(save_path, fps=fps) as w:  # noqa: already probed
         for frame in list(traj)[::stride]:
             ox, oy, th, ql, qr = frame
             c, s = np.cos(th), np.sin(th)
