@@ -33,6 +33,59 @@ K_PLANE3 = 2.5e4
 B_PLANE3 = 300.0
 SOLVER_ITERS = 8
 FINGER_MASS_FACTOR = 2.4
+HGRID_H, HGRID_W = 64, 32   # height-grid resolution over (x, z)
+
+
+def bake_height_grids(yl: np.ndarray, yr: np.ndarray) -> np.ndarray:
+    """Evaluate both finger surfaces + slopes on a dense (x, z) lattice.
+
+    Returns (2, H, W, 3): [height, dh/dx, dh/dz]. Bilinear interpolation of
+    this grid replaces per-step B-spline basis evaluation in the hot loop
+    (surface curvature is mild: interpolation error << contact tolerances)."""
+    import jax as _jax
+
+    g = GRIPPER_3D
+    xs = np.linspace(g.ctrl_x_min, g.ctrl_x_max, HGRID_H)
+    zs = np.linspace(g.ctrl_z_min, g.ctrl_z_max, HGRID_W)
+    gx, gz = np.meshgrid(xs, zs, indexing="ij")
+    out = np.zeros((2, HGRID_H, HGRID_W, 3), dtype=np.float32)
+    flat_x = jnp.asarray(gx.reshape(-1), jnp.float32)
+    flat_z = jnp.asarray(gz.reshape(-1), jnp.float32)
+
+    @_jax.jit
+    def eval_one(yc):
+        h = _SURF.height(yc, flat_x, flat_z)
+        sx, sz = _SURF.slopes(yc, flat_x, flat_z)
+        return h, sx, sz
+
+    for i, y in enumerate((yl, yr)):
+        yc = jnp.asarray(np.asarray(y).reshape(g.nu, g.nv), jnp.float32)
+        h, sx, sz = eval_one(yc)
+        out[i, ..., 0] = np.asarray(h).reshape(HGRID_H, HGRID_W)
+        out[i, ..., 1] = np.asarray(sx).reshape(HGRID_H, HGRID_W)
+        out[i, ..., 2] = np.asarray(sz).reshape(HGRID_H, HGRID_W)
+    return out
+
+
+def _bilerp(grid: jnp.ndarray, x: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """grid (H, W, 3); x, z (P,) clipped coords -> (P, 3)."""
+    g = GRIPPER_3D
+    fx = (x - g.ctrl_x_min) / (g.ctrl_x_max - g.ctrl_x_min) * (HGRID_H - 1)
+    fz = (z - g.ctrl_z_min) / (g.ctrl_z_max - g.ctrl_z_min) * (HGRID_W - 1)
+    fx = jnp.clip(fx, 0.0, HGRID_H - 1.0)
+    fz = jnp.clip(fz, 0.0, HGRID_W - 1.0)
+    i0 = jnp.clip(fx.astype(jnp.int32), 0, HGRID_H - 2)
+    j0 = jnp.clip(fz.astype(jnp.int32), 0, HGRID_W - 2)
+    wx = (fx - i0)[:, None]
+    wz = (fz - j0)[:, None]
+    flat = grid.reshape(-1, 3)
+    idx = i0 * HGRID_W + j0
+    g00 = flat[idx]
+    g01 = flat[idx + 1]
+    g10 = flat[idx + HGRID_W]
+    g11 = flat[idx + HGRID_W + 1]
+    return ((1 - wx) * ((1 - wz) * g00 + wz * g01)
+            + wx * ((1 - wz) * g10 + wz * g11))
 
 
 def make_scene(
@@ -48,6 +101,7 @@ def make_scene(
     from dgdm_tpu.geom import mesh3d
 
     g = GRIPPER_3D
+    hgrid = bake_height_grids(yl, yr)
     mass, com, inertia = mesh3d.mass_properties(verts, faces, SIM.density)
     mass *= SIM.mass_factor
     inertia = inertia * SIM.mass_factor
@@ -63,6 +117,7 @@ def make_scene(
     return Scene3D(
         yl=f32(np.asarray(yl).reshape(g.nu, g.nv)),
         yr=f32(np.asarray(yr).reshape(g.nu, g.nv)),
+        hgrid=f32(hgrid),
         points=f32(pts),
         com=f32(com),
         mass=f32(mass),
@@ -129,7 +184,6 @@ def step(
     solver_iters: int = SOLVER_ITERS,
 ) -> State3D:
     g = GRIPPER_3D
-    surf = _SURF
     m, fm = scene.mass, scene.finger_mass
     inv_m, inv_fm = 1.0 / m, 1.0 / fm
     rot = quat_to_mat(state.quat)
@@ -146,10 +200,10 @@ def step(
     xc = jnp.clip(x, g.ctrl_x_min, g.ctrl_x_max)
     zc = jnp.clip(z, g.ctrl_z_min, g.ctrl_z_max)
 
-    f_l = surf.height(scene.yl, xc, zc)
-    f_r = surf.height(scene.yr, xc, zc)
-    sx_l, sz_l = surf.slopes(scene.yl, xc, zc)
-    sx_r, sz_r = surf.slopes(scene.yr, xc, zc)
+    hl = _bilerp(scene.hgrid[0], xc, zc)
+    hr = _bilerp(scene.hgrid[1], xc, zc)
+    f_l, sx_l, sz_l = hl[:, 0], hl[:, 1], hl[:, 2]
+    f_r, sx_r, sz_r = hr[:, 0], hr[:, 1], hr[:, 2]
 
     surf_l = -g.jaw_offset + state.q[0] + f_l + g.width
     surf_r = g.jaw_offset + state.q[1] + f_r

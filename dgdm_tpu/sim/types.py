@@ -41,10 +41,15 @@ class State2D:
 
 @flax.struct.dataclass
 class Scene3D:
-    """Static description of one object x 3D-gripper pair."""
+    """Static description of one object x 3D-gripper pair.
+
+    The finger B-spline surfaces are baked to dense height/slope grids
+    (``hgrid``) at scene-build time: contact evaluation is then a bilinear
+    lookup instead of per-step basis math."""
 
     yl: jnp.ndarray            # (7, 3) left finger B-spline ctrl y values
     yr: jnp.ndarray            # (7, 3) right finger ctrl y values
+    hgrid: jnp.ndarray         # (2, H, W, 3): [height, dh/dx, dh/dz] per finger
     points: jnp.ndarray        # (P, 3) object surface points, body frame
     com: jnp.ndarray           # (3,) object COM (body frame)
     mass: jnp.ndarray          # ()
