@@ -1,5 +1,6 @@
-"""Guided-sampling CLI — counterpart of ``generator/guided_sample_2d.sh``
-(``generator/train.py --mode=test --classifier_guidance``).
+"""Guided-sampling CLI — counterpart of ``generator/guided_sample_2d.sh`` /
+``guided_sample_3d.sh`` (``generator/train.py --mode=test
+--classifier_guidance``).
 
 Loads the trained diffusion (EMA) and dynamics checkpoints, runs unguided +
 guided DDIM for the 12 reference objectives over the test objects, verifies
@@ -23,7 +24,7 @@ import numpy as np
 
 from dgdm_tpu.core.config import GUIDANCE, GUIDED_OBJECTIVES, NORM
 from dgdm_tpu.core.flags import build_parser
-from dgdm_tpu.design.guidance import GuidedSampler2D
+from dgdm_tpu.design.guidance import GuidedSampler
 from dgdm_tpu.eval.metrics import best_ids_all_metrics
 from dgdm_tpu.eval.simeval import objectives_table, sim_eval_batch_2d
 from dgdm_tpu.geom.contour import extract_contours
@@ -50,14 +51,47 @@ def load_test_objects(args):
     return ids, contours
 
 
+def load_test_objects_3d(args):
+    """Test-split scanned objects (reference: object_names_test.txt names
+    under object_dir, generator/train.py:100-109)."""
+    from dgdm_tpu.geom import mesh3d
+
+    names_file = os.path.join(args.object_dir, "object_names_test.txt")
+    with open(names_file) as f:
+        names = [ln.strip() for ln in f if ln.strip()]
+    meshes, clouds = [], []
+    for name in names:
+        verts, faces = mesh3d.load_obj(
+            os.path.join(args.object_dir, name, "model.obj")
+        )
+        meshes.append((verts, faces))
+        pts = mesh3d.sample_surface(verts, faces, args.object_max_num_vertices)
+        e = NORM.object_extent_3d_xy
+        pts = np.array(pts)
+        pts[:, 0] = (pts[:, 0] + e) / (2 * e) * 2 - 1
+        pts[:, 1] = (pts[:, 1] + e) / (2 * e) * 2 - 1
+        pts[:, 2] = (
+            (pts[:, 2] - NORM.object_z_min_3d)
+            / (NORM.object_z_max_3d - NORM.object_z_min_3d) * 2 - 1
+        )
+        clouds.append(pts.astype(np.float32))
+    return names, meshes, clouds
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     os.makedirs(args.save_dir, exist_ok=True)
 
     unet = ConditionalUnet1D(input_dim=1)
-    classifier = ProfileForward2D(
-        params_ch=args.ctrlpts_dim, object_ch=2 * args.object_max_num_vertices
-    )
+    if args.fingers_3d:
+        from dgdm_tpu.models.profile3d import ProfileForward3D
+
+        classifier = ProfileForward3D(params_ch=args.ctrlpts_dim)
+    else:
+        classifier = ProfileForward2D(
+            params_ch=args.ctrlpts_dim,
+            object_ch=2 * args.object_max_num_vertices,
+        )
     gtr = GeneratorTrainer(unet, num_train_timesteps=args.num_train_timesteps)
     dtr = DynamicsTrainer(classifier,
                           num_train_timesteps=args.num_train_timesteps)
@@ -65,23 +99,32 @@ def main(argv=None):
     b = args.batch_size
     gstate = gtr.init(jax.random.PRNGKey(0), jnp.zeros((b, args.ctrlpts_dim, 1)))
     gstate = checkpoints.restore(args.diffusion_checkpoint_path, gstate)
+    obj_ex = (
+        jnp.zeros((2, args.object_max_num_vertices, 3))
+        if args.fingers_3d
+        else jnp.zeros((2, 2 * args.object_max_num_vertices))
+    )
     ex = {
         "ctrl": jnp.zeros((2, args.ctrlpts_dim)),
         "ori": jnp.zeros((2, 1)),
         "pos": jnp.zeros((2, 2)),
-        "obj": jnp.zeros((2, 2 * args.object_max_num_vertices)),
+        "obj": obj_ex,
         "score": jnp.zeros((2, 3)),
     }
     dstate = dtr.init(jax.random.PRNGKey(0), ex)
     dstate = checkpoints.restore(args.checkpoint_path, dstate)
     cls_vars = {"params": dstate.params, "batch_stats": dstate.batch_stats}
 
-    ids, contours = load_test_objects(args)
-    obj_flats = jnp.asarray(
-        np.stack([c.reshape(-1) / NORM.object_extent_2d for c in contours])
-    )
+    if args.fingers_3d:
+        ids, meshes, clouds = load_test_objects_3d(args)
+        obj_flats = jnp.asarray(np.stack(clouds))
+    else:
+        ids, contours = load_test_objects(args)
+        obj_flats = jnp.asarray(
+            np.stack([c.reshape(-1) / NORM.object_extent_2d for c in contours])
+        )
 
-    sampler = GuidedSampler2D(
+    sampler = GuidedSampler(
         unet, classifier, grid_size=args.grid_size, num_pos=args.num_pos,
         num_train_timesteps=args.num_train_timesteps,
         num_inference_steps=args.num_inference_steps,
@@ -98,7 +141,7 @@ def main(argv=None):
     thr0 = NORM.threshold_std(args.fingers_3d)[0]
     for objective in GUIDED_OBJECTIVES:
         per_object = {}
-        for oi, (oid, contour) in enumerate(zip(ids, contours)):
+        for oi, oid in enumerate(ids):
             scale = jnp.asarray(GUIDANCE.scale(args.fingers_3d, objective))
             centers = None
             if objective == "convergence":
@@ -109,10 +152,18 @@ def main(argv=None):
                 gstate.ema_params, cls_vars, noise, obj_flats[oi], objective,
                 scale, centers=centers,
             )
-            metrics = sim_eval_batch_2d(
-                np.asarray(samples)[..., 0], [contour],
-                num_rot=args.grid_size,
-            )
+            if args.fingers_3d:
+                from dgdm_tpu.eval.simeval3d import sim_eval_batch_3d
+
+                metrics = sim_eval_batch_3d(
+                    np.asarray(samples)[..., 0], [meshes[oi]],
+                    num_rot=args.grid_size,
+                )
+            else:
+                metrics = sim_eval_batch_2d(
+                    np.asarray(samples)[..., 0], [contours[oi]],
+                    num_rot=args.grid_size,
+                )
             objs = objectives_table(metrics, objective)
             best = best_ids_all_metrics(objs, objective)
             per_object[str(oid)] = {
