@@ -121,14 +121,17 @@ class GuidedSampler2D:
         obj_feat (W,) precomputed object feature."""
         b, l, _ = x.shape
         n = poses.shape[0]
-        chunk = n // self.pose_chunks
-        poses_c = poses.reshape(self.pose_chunks, chunk, 3)
+        # largest divisor of n not exceeding the requested chunk count
+        chunks = max(
+            (c for c in range(1, min(self.pose_chunks, n) + 1) if n % c == 0),
+            default=1,
+        )
+        chunk = n // chunks
+        poses_c = poses.reshape(chunks, chunk, 3)
         if weights.ndim == 3 and weights.shape[0] == n:
-            w_c = weights.reshape(self.pose_chunks, chunk, *weights.shape[1:])
+            w_c = weights.reshape(chunks, chunk, *weights.shape[1:])
         else:
-            w_c = jnp.broadcast_to(
-                weights, (self.pose_chunks,) + weights.shape
-            )
+            w_c = jnp.broadcast_to(weights, (chunks,) + weights.shape)
         t_resc = jnp.full((), t, jnp.float32) / self.num_train_timesteps
 
         def chunk_objective(xf, pose_chunk, w_chunk):

@@ -75,13 +75,14 @@ class DynamicsTrainer:
         )
 
     def _noised_inputs(self, rng, ctrl):
+        # In both 2D and 3D, `ctrl` is the y-vector of the control points, so
+        # noising all of it reproduces the reference's y-row-only noising
+        # (dynamics/trainer.py:67: the x/z rows get zero noise and the model
+        # never reads them anyway, profile_forward_3d.py:78).
         t = jax.random.randint(
             rng, (ctrl.shape[0],), 0, self.num_train_timesteps
         )
         noise = jax.random.normal(jax.random.fold_in(rng, 1), ctrl.shape)
-        if self.fingers_3d:
-            # 3D: only the y-row is noised (dynamics/trainer.py:67)
-            pass  # handled by caller's layout (3D trainer noises y-only)
         noisy = ddim.add_noise(self.sched, ctrl, noise, t)
         t_rescaled = t.astype(jnp.float32) / self.num_train_timesteps
         return noisy, t_rescaled
