@@ -68,17 +68,37 @@ def generate_3d(
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
     poses = pose_grid(grid_size=grid_size, num_pos=num_pos)
 
-    dth, dpos, fth, valid = [], [], [], []
-    for lo in range(0, poses.shape[0], pose_chunk):
-        block = jnp.asarray(poses[lo : lo + pose_chunk])
-        o = engine3d.profile_batch(stacked, block, steps=steps)
-        dth.append(np.asarray(o[0]))
-        dpos.append(np.asarray(o[1]))
-        fth.append(np.asarray(o[2]))
-        valid.append(np.asarray(o[3]))
-    dth = np.concatenate(dth, 1)
-    dpos = np.concatenate(dpos, 1)
-    valid = np.concatenate(valid, 1)
+    if jax.default_backend() == "tpu":
+        from dgdm_tpu.sim import pallas3d
+
+        pad = (-poses.shape[0]) % pallas3d.LANE
+        poses_p = (
+            np.concatenate(
+                [poses, np.broadcast_to(poses[-1], (pad,) + poses.shape[1:])], 0
+            )
+            if pad
+            else poses
+        )
+        arrs = pallas3d.scene_arrays_3d(stacked)
+        o = pallas3d.profile_batch_pallas3d(
+            *arrs, jnp.asarray(poses_p), steps=steps
+        )
+        n = poses.shape[0]
+        dth = np.asarray(o[0])[:, :n]
+        dpos = np.asarray(o[1])[:, :n]
+        valid = np.asarray(o[3])[:, :n]
+    else:
+        dth, dpos, fth, valid = [], [], [], []
+        for lo in range(0, poses.shape[0], pose_chunk):
+            block = jnp.asarray(poses[lo : lo + pose_chunk])
+            o = engine3d.profile_batch(stacked, block, steps=steps)
+            dth.append(np.asarray(o[0]))
+            dpos.append(np.asarray(o[1]))
+            fth.append(np.asarray(o[2]))
+            valid.append(np.asarray(o[3]))
+        dth = np.concatenate(dth, 1)
+        dpos = np.concatenate(dpos, 1)
+        valid = np.concatenate(valid, 1)
 
     records: List[Optional[Dict[str, np.ndarray]]] = []
     theta0 = poses[:, 2].astype(np.float32)

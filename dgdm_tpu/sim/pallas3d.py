@@ -1,0 +1,453 @@
+"""Pallas TPU kernel: fully fused 3D squeeze rollouts.
+
+Same design as ``pallas2d``: each program runs LANE=128 rollouts of one
+object x gripper pair for all timesteps with state resident in VMEM —
+rollouts in vector lanes, object surface points in sublanes. The finger
+B-spline surfaces are pre-fitted to piecewise bicubic-x x quadratic-z
+polynomials (``surface_fit.py``), so contact evaluation is a segment
+where-chain + bivariate Horner with zero gathers. Physics matches
+``engine3d.step`` (same implicit mass-split Jacobi solver; full 6-DOF
+quaternion dynamics, plane contact with lever arms, tip-over validity flags).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dgdm_tpu.core.config import GRIPPER_3D, SIM
+from dgdm_tpu.sim.engine2d import B_CONTACT, IMPEDANCE, K_CONTACT
+from dgdm_tpu.sim.engine3d import B_PLANE3, K_PLANE3, SOLVER_ITERS
+from dgdm_tpu.sim.surface_fit import DEG_X, DEG_Z, N_SEG, fit_surface_batch
+
+LANE = 128
+
+
+def _surface_eval(coef_ref, finger: int, seg, t, s):
+    """Piecewise-polynomial surface height + slopes.
+
+    coef_ref block (1, 2, N_SEG, 4, 3); seg/t/s (P, L) ->
+    (y, dy/dx, dy/dz) each (P, L)."""
+    # select the 12 coefficients with a where-chain over segments
+    c = [[None] * (DEG_Z + 1) for _ in range(DEG_X + 1)]
+    for a in range(DEG_X + 1):
+        for b in range(DEG_Z + 1):
+            acc = jnp.zeros_like(t) + coef_ref[0, finger, 0, a, b]
+            for sg in range(1, N_SEG):
+                acc = jnp.where(seg >= sg, coef_ref[0, finger, sg, a, b], acc)
+            c[a][b] = acc
+    # bivariate Horner
+    rows = []
+    drows = []
+    for a in range(DEG_X + 1):
+        row = c[a][DEG_Z]
+        for b in range(DEG_Z - 1, -1, -1):
+            row = row * s + c[a][b]
+        rows.append(row)
+        drow = c[a][DEG_Z] * DEG_Z
+        for b in range(DEG_Z - 1, 0, -1):
+            drow = drow * s + c[a][b] * b
+        drows.append(drow)
+    y = rows[DEG_X]
+    dy_dx = rows[DEG_X] * DEG_X
+    dy_dz = drows[DEG_X]
+    for a in range(DEG_X - 1, -1, -1):
+        y = y * t + rows[a]
+        if a > 0:
+            dy_dx = dy_dx * t + rows[a] * a
+        dy_dz = dy_dz * t + drows[a]
+    return y, dy_dx, dy_dz
+
+
+def _rollout3d_kernel(
+    coef_ref,        # (1, 2, N_SEG, 4, 3) fitted surface polys (l, r)
+    pts_ref,         # (1, P, 4): body-frame surface points (x, y, z, pad)
+    scal_ref,        # (1, 1, 16): mass, fmass, com(3), invI(9) upper-tri(6)+...
+    poses_ref,       # (3, LANE)
+    qw_ref, qz_ref, dpx_ref, dpy_ref, valid_ref,     # (1, 1, LANE) each
+    *,
+    steps: int,
+    dt: float,
+    regrasp_every: int,
+    solver_iters: int,
+    ctrl_mag: float,
+):
+    g = GRIPPER_3D
+    x0f, x1f = g.ctrl_x_min, g.ctrl_x_max
+    z0f, z1f = g.ctrl_z_min, g.ctrl_z_max
+    hseg = (x1f - x0f) / N_SEG
+
+    mass = scal_ref[0, 0, 0]
+    fmass = scal_ref[0, 0, 1]
+    com_x = scal_ref[0, 0, 2]
+    com_y = scal_ref[0, 0, 3]
+    com_z = scal_ref[0, 0, 4]
+    # body-frame inverse inertia (symmetric): I00 I11 I22 I01 I02 I12
+    i00 = scal_ref[0, 0, 5]
+    i11 = scal_ref[0, 0, 6]
+    i22 = scal_ref[0, 0, 7]
+    i01 = scal_ref[0, 0, 8]
+    i02 = scal_ref[0, 0, 9]
+    i12 = scal_ref[0, 0, 10]
+    inv_m, inv_fm = 1.0 / mass, 1.0 / fmass
+
+    pbx = pts_ref[0, :, 0:1] - com_x               # (P, 1)
+    pby = pts_ref[0, :, 1:2] - com_y
+    pbz = pts_ref[0, :, 2:3] - com_z
+
+    pose_x = poses_ref[0:1, :]
+    pose_y = poses_ref[1:2, :]
+    theta0 = poses_ref[2:3, :]
+
+    half = theta0 * 0.5
+    qw0, qz0 = jnp.cos(half), jnp.sin(half)
+    zero = jnp.zeros_like(pose_x)
+    # world COM = origin + R(com): for a z-rotation
+    c0, s0 = jnp.cos(theta0), jnp.sin(theta0)
+    px = pose_x + c0 * com_x - s0 * com_y
+    py = pose_y + s0 * com_x + c0 * com_y
+    pz = zero + com_z
+
+    state = (
+        px, py, pz,
+        qw0, zero, zero, qz0,
+        zero, zero, zero,            # vel
+        zero, zero, zero,            # om (world)
+        zero, zero, zero, zero,      # ql, qr, qdl, qdr
+    )
+
+    ctrl_l = jnp.float32(min(ctrl_mag, g.ctrl_clamped))
+    d_imp = jnp.float32(IMPEDANCE)
+    mu = jnp.float32(SIM.friction_slide)
+
+    def step_body(i, st):
+        (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
+         ox, oy, oz, ql, qr, qdl, qdr) = st
+        if regrasp_every:
+            rg = (i % regrasp_every == 0) & (i > 0)
+            z_ = jnp.float32(0.0)
+            ql = jnp.where(rg, z_, ql)
+            qr = jnp.where(rg, z_, qr)
+            qdl = jnp.where(rg, z_, qdl)
+            qdr = jnp.where(rg, z_, qdr)
+            vx = jnp.where(rg, z_, vx)
+            vy = jnp.where(rg, z_, vy)
+            vz = jnp.where(rg, z_, vz)
+            ox = jnp.where(rg, z_, ox)
+            oy = jnp.where(rg, z_, oy)
+            oz = jnp.where(rg, z_, oz)
+
+        # rotation matrix from quaternion (1, L)
+        r00 = 1 - 2 * (qy * qy + qz * qz)
+        r01 = 2 * (qx * qy - qw * qz)
+        r02 = 2 * (qx * qz + qw * qy)
+        r10 = 2 * (qx * qy + qw * qz)
+        r11 = 1 - 2 * (qx * qx + qz * qz)
+        r12 = 2 * (qy * qz - qw * qx)
+        r20 = 2 * (qx * qz - qw * qy)
+        r21 = 2 * (qy * qz + qw * qx)
+        r22 = 1 - 2 * (qx * qx + qy * qy)
+
+        # world inverse inertia W = R Ib^-1 R^T (symmetric, 6 entries)
+        a00 = r00 * i00 + r01 * i01 + r02 * i02
+        a01 = r00 * i01 + r01 * i11 + r02 * i12
+        a02 = r00 * i02 + r01 * i12 + r02 * i22
+        a10 = r10 * i00 + r11 * i01 + r12 * i02
+        a11_ = r10 * i01 + r11 * i11 + r12 * i12
+        a12 = r10 * i02 + r11 * i12 + r12 * i22
+        a20 = r20 * i00 + r21 * i01 + r22 * i02
+        a21 = r20 * i01 + r21 * i11 + r22 * i12
+        a22_ = r20 * i02 + r21 * i12 + r22 * i22
+        w00 = a00 * r00 + a01 * r01 + a02 * r02
+        w01 = a00 * r10 + a01 * r11 + a02 * r12
+        w02 = a00 * r20 + a01 * r21 + a02 * r22
+        w11 = a10 * r10 + a11_ * r11 + a12 * r12
+        w12 = a10 * r20 + a11_ * r21 + a12 * r22
+        w22 = a20 * r20 + a21 * r21 + a22_ * r22
+
+        def wmul(tx, ty, tz):
+            return (
+                w00 * tx + w01 * ty + w02 * tz,
+                w01 * tx + w11 * ty + w12 * tz,
+                w02 * tx + w12 * ty + w22 * tz,
+            )
+
+        # world lever arms (P, L)
+        rx = r00 * pbx + r01 * pby + r02 * pbz
+        ry = r10 * pbx + r11 * pby + r12 * pbz
+        rz = r20 * pbx + r21 * pby + r22 * pbz
+        wx = px + rx
+        wy = py + ry
+        wz = pz + rz
+
+        in_dom = (wx >= x0f) & (wx <= x1f) & (wz >= z0f) & (wz <= z1f)
+        xc = jnp.clip(wx, x0f, x1f)
+        zc = jnp.clip(wz, z0f, z1f)
+        seg = jnp.clip(((xc - x0f) * (1.0 / hseg)).astype(jnp.int32), 0, N_SEG - 1)
+        t_loc = xc - (x0f + seg.astype(jnp.float32) * hseg)
+        s_loc = zc - z0f
+
+        fl, slx, slz = _surface_eval(coef_ref, 0, seg, t_loc, s_loc)
+        fr, srx, srz = _surface_eval(coef_ref, 1, seg, t_loc, s_loc)
+
+        surf_l = (-g.jaw_offset + g.width) + ql + fl
+        surf_r = g.jaw_offset + qr + fr
+        inv_nl = jax.lax.rsqrt(1.0 + slx * slx + slz * slz)
+        inv_nr = jax.lax.rsqrt(1.0 + srx * srx + srz * srz)
+        # left normal (+y-ish), right normal (-y-ish)
+        nlx, nly, nlz = -slx * inv_nl, inv_nl, -slz * inv_nl
+        nrx, nry, nrz = srx * inv_nr, -inv_nr, srz * inv_nr
+        depth_l = (surf_l - wy) * inv_nl
+        depth_r = (wy - surf_r) * inv_nr
+        depth_p = jnp.float32(SIM.plane_z) - wz
+        act_l = ((depth_l > 0) & in_dom).astype(jnp.float32)
+        act_r = ((depth_r > 0) & in_dom).astype(jnp.float32)
+        act_p = (depth_p > 0).astype(jnp.float32)
+        w_l = act_l / jnp.maximum(jnp.sum(act_l, 0, keepdims=True), 1.0)
+        w_r = act_r / jnp.maximum(jnp.sum(act_r, 0, keepdims=True), 1.0)
+        w_p = act_p / jnp.maximum(jnp.sum(act_p, 0, keepdims=True), 1.0)
+
+        def contact_frame(nx, ny, nz):
+            # r x n
+            cx = ry * nz - rz * ny
+            cy = rz * nx - rx * nz
+            cz = rx * ny - ry * nx
+            wx_, wy_, wz_ = wmul(cx, cy, cz)
+            ang = cx * wx_ + cy * wy_ + cz * wz_
+            return cx, cy, cz, ang
+
+        cl = contact_frame(nlx, nly, nlz)
+        cr = contact_frame(nrx, nry, nrz)
+        cp = contact_frame(zero, zero, zero + 1.0)
+        me_l = 1.0 / (inv_m + cl[3] + nly * nly * inv_fm)
+        me_r = 1.0 / (inv_m + cr[3] + nry * nry * inv_fm)
+        me_p = 1.0 / (inv_m + cp[3])
+
+        # targets from pre-update velocities
+        vpx = vx + oy * rz - oz * ry
+        vpy = vy + oz * rx - ox * rz
+        vpz = vz + ox * ry - oy * rx
+        vn_l0 = vpx * nlx + (vpy - qdl) * nly + vpz * nlz
+        vn_r0 = vpx * nrx + (vpy - qdr) * nry + vpz * nrz
+        vn_p0 = vpz
+        kc, bc = jnp.float32(K_CONTACT), jnp.float32(B_CONTACT)
+        kp_, bp_ = jnp.float32(K_PLANE3), jnp.float32(B_PLANE3)
+        tgt_l = (1.0 - d_imp * bc * dt) * vn_l0 + d_imp * dt * kc * depth_l
+        tgt_r = (1.0 - d_imp * bc * dt) * vn_r0 + d_imp * dt * kc * depth_r
+        tgt_p = (1.0 - d_imp * bp_ * dt) * vn_p0 + d_imp * dt * kp_ * depth_p
+
+        # unconstrained update
+        f_l = g.kp * (ctrl_l - ql) - g.joint_damping * qdl
+        f_r = g.kp * (-ctrl_l - qr) - g.joint_damping * qdr
+        vz = vz - dt * jnp.float32(SIM.gravity)
+        qdl = qdl + dt * f_l * inv_fm
+        qdr = qdr + dt * f_r * inv_fm
+
+        lam = [jnp.zeros_like(depth_l) for _ in range(3)]
+        lamt = [
+            (jnp.zeros_like(depth_l),) * 3 for _ in range(3)
+        ]
+        lamt = [list(x) for x in lamt]
+
+        sets = (
+            (nlx, nly, nlz, w_l, me_l, tgt_l, cl, 0),
+            (nrx, nry, nrz, w_r, me_r, tgt_r, cr, 1),
+            (zero, zero + 0.0, zero + 1.0, w_p, me_p, tgt_p, cp, 2),
+        )
+
+        def solve(j, carry):
+            (vx, vy, vz, ox, oy, oz, qdl, qdr,
+             l0, l1, l2,
+             t0x, t0y, t0z, t1x, t1y, t1z, t2x, t2y, t2z) = carry
+            lam_n = [l0, l1, l2]
+            lam_t = [[t0x, t0y, t0z], [t1x, t1y, t1z], [t2x, t2y, t2z]]
+            for idx, (nx, ny, nz, w_c, me, tgt, cf, which) in enumerate(sets):
+                qd_f = qdl if which == 0 else (qdr if which == 1 else zero)
+                vpx = vx + oy * rz - oz * ry
+                vpy = vy + oz * rx - ox * rz - (qd_f if which < 2 else 0.0)
+                vpz = vz + ox * ry - oy * rx
+                vn = vpx * nx + vpy * ny + vpz * nz
+                d_n = w_c * me * (tgt - vn)
+                new_n = jnp.maximum(lam_n[idx] + d_n, 0.0)
+                dn = new_n - lam_n[idx]
+                lam_n[idx] = new_n
+                # tangential (vector) with cone clamp
+                vtx = vpx - vn * nx
+                vty = vpy - vn * ny
+                vtz = vpz - vn * nz
+                ctx = lam_t[idx][0] - w_c * me * vtx
+                cty = lam_t[idx][1] - w_c * me * vty
+                ctz = lam_t[idx][2] - w_c * me * vtz
+                cap = mu * new_n
+                nrm = jnp.sqrt(ctx * ctx + cty * cty + ctz * ctz + 1e-20)
+                sc = jnp.minimum(1.0, cap / nrm)
+                ctx, cty, ctz = ctx * sc, cty * sc, ctz * sc
+                dtx = ctx - lam_t[idx][0]
+                dty = cty - lam_t[idx][1]
+                dtz = ctz - lam_t[idx][2]
+                lam_t[idx] = [ctx, cty, ctz]
+                ix = dn * nx + dtx
+                iy = dn * ny + dty
+                iz = dn * nz + dtz
+                vx = vx + jnp.sum(ix, 0, keepdims=True) * inv_m
+                vy = vy + jnp.sum(iy, 0, keepdims=True) * inv_m
+                vz = vz + jnp.sum(iz, 0, keepdims=True) * inv_m
+                tqx = jnp.sum(ry * iz - rz * iy, 0, keepdims=True)
+                tqy = jnp.sum(rz * ix - rx * iz, 0, keepdims=True)
+                tqz = jnp.sum(rx * iy - ry * ix, 0, keepdims=True)
+                dox, doy, doz = wmul(tqx, tqy, tqz)
+                ox, oy, oz = ox + dox, oy + doy, oz + doz
+                if which == 0:
+                    qdl = qdl - jnp.sum(iy, 0, keepdims=True) * inv_fm
+                elif which == 1:
+                    qdr = qdr - jnp.sum(iy, 0, keepdims=True) * inv_fm
+            return (vx, vy, vz, ox, oy, oz, qdl, qdr,
+                    lam_n[0], lam_n[1], lam_n[2],
+                    lam_t[0][0], lam_t[0][1], lam_t[0][2],
+                    lam_t[1][0], lam_t[1][1], lam_t[1][2],
+                    lam_t[2][0], lam_t[2][1], lam_t[2][2])
+
+        carry = (vx, vy, vz, ox, oy, oz, qdl, qdr,
+                 lam[0], lam[1], lam[2],
+                 lamt[0][0], lamt[0][1], lamt[0][2],
+                 lamt[1][0], lamt[1][1], lamt[1][2],
+                 lamt[2][0], lamt[2][1], lamt[2][2])
+        carry = jax.lax.fori_loop(0, solver_iters, solve, carry)
+        (vx, vy, vz, ox, oy, oz, qdl, qdr, *_r) = carry
+
+        # integrate
+        px = px + dt * vx
+        py = py + dt * vy
+        pz = pz + dt * vz
+        dqw = 0.5 * (-ox * qx - oy * qy - oz * qz)
+        dqx = 0.5 * (ox * qw + oy * qz - oz * qy)
+        dqy = 0.5 * (-ox * qz + oy * qw + oz * qx)
+        dqz = 0.5 * (ox * qy - oy * qx + oz * qw)
+        qw = qw + dt * dqw
+        qx = qx + dt * dqx
+        qy = qy + dt * dqy
+        qz = qz + dt * dqz
+        qn = jax.lax.rsqrt(qw * qw + qx * qx + qy * qy + qz * qz + 1e-12)
+        qw, qx, qy, qz = qw * qn, qx * qn, qy * qn, qz * qn
+        ql = ql + dt * qdl
+        qr = qr + dt * qdr
+        return (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
+                ox, oy, oz, ql, qr, qdl, qdr)
+
+    state = jax.lax.fori_loop(0, steps, step_body, state)
+    (px, py, pz, qw, qx, qy, qz, *_rest) = state
+    (ql_, qr_) = state[13], state[14]
+
+    # angle readout happens OUTSIDE the kernel (Mosaic lacks atan2):
+    # emit the final z-quaternion components instead
+    # body origin = com_w - R @ com_b
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qw * qz)
+    r02 = 2 * (qx * qz + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qw * qx)
+    org_x = px - (r00 * com_x + r01 * com_y + r02 * com_z)
+    org_y = py - (r10 * com_x + r11 * com_y + r12 * com_z)
+    valid = (jnp.abs(qx) < SIM.tipover_atol) & (jnp.abs(qy) < SIM.tipover_atol)
+
+    qw_ref[0, 0, :] = qw[0, :]
+    qz_ref[0, 0, :] = qz[0, :]
+    dpx_ref[0, 0, :] = (org_x - pose_x)[0, :]
+    dpy_ref[0, 0, :] = (org_y - pose_y)[0, :]
+    valid_ref[0, 0, :] = valid.astype(jnp.float32)[0, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps", "dt", "regrasp_every", "solver_iters", "ctrl_mag"),
+)
+def profile_batch_pallas3d(
+    coefs: jnp.ndarray,    # (B, 2, N_SEG, 4, 3)
+    points: jnp.ndarray,   # (B, P, 4)
+    scalars: jnp.ndarray,  # (B, 1, 16)
+    poses: jnp.ndarray,    # (N, 3), N % LANE == 0
+    steps: int = SIM.steps_3d,
+    dt: float = SIM.dt,
+    regrasp_every: int = 0,
+    solver_iters: int = SOLVER_ITERS,
+    ctrl_mag: float = SIM.ctrl_3d,
+) -> Tuple[jnp.ndarray, ...]:
+    b, p = points.shape[0], points.shape[1]
+    n = poses.shape[0]
+    assert n % LANE == 0, n
+    poses_t = poses.T.astype(jnp.float32)
+    kernel = functools.partial(
+        _rollout3d_kernel,
+        steps=steps, dt=dt, regrasp_every=regrasp_every,
+        solver_iters=solver_iters, ctrl_mag=ctrl_mag,
+    )
+    grid = (b, n // LANE)
+    out_shape = [jax.ShapeDtypeStruct((b, 1, n), jnp.float32) for _ in range(5)]
+    out_specs = [
+        pl.BlockSpec((1, 1, LANE), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM)
+        for _ in range(5)
+    ]
+    qw, qz, dpx, dpy, valid = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2, N_SEG, 4, 3), lambda i, j: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 4), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 16), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, LANE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(
+        coefs.astype(jnp.float32),
+        points.astype(jnp.float32),
+        scalars.astype(jnp.float32),
+        poses_t,
+    )
+    qw, qz, dpx, dpy, valid = (a[:, 0, :] for a in (qw, qz, dpx, dpy, valid))
+    two_pi = 2.0 * np.pi
+    theta_f = jnp.mod(2.0 * jnp.arctan2(qz, qw), two_pi)
+    theta0 = jnp.mod(poses[:, 2], two_pi)[None, :]
+    dth = theta_f - theta0
+    dth = dth - two_pi * jnp.round(dth / two_pi)
+    dpos = jnp.stack([dpx, dpy], axis=-1)
+    return dth, dpos, theta_f, valid > 0.5
+
+
+def scene_arrays_3d(scenes) -> Tuple[jnp.ndarray, ...]:
+    """Stacked Scene3D pytree -> (coefs, points, scalars) kernel inputs.
+    Fits the surface polynomials (host-side) from the stacked ctrl grids."""
+    yls = np.asarray(scenes.yl)                     # (B, 7, 3)
+    yrs = np.asarray(scenes.yr)
+    b = yls.shape[0]
+    both = np.concatenate([yls, yrs], 0)            # (2B, 7, 3)
+    fitted = fit_surface_batch(both)                # (2B, N_SEG, 4, 3)
+    coefs = np.stack([fitted[:b], fitted[b:]], axis=1).astype(np.float32)
+    pts = np.asarray(scenes.points)
+    points = np.concatenate(
+        [pts, np.zeros((b, pts.shape[1], 1), np.float32)], axis=-1
+    )
+    scal = np.zeros((b, 1, 16), np.float32)
+    scal[:, 0, 0] = np.asarray(scenes.mass)
+    scal[:, 0, 1] = np.asarray(scenes.finger_mass)
+    scal[:, 0, 2:5] = np.asarray(scenes.com)
+    inv_i = np.asarray(scenes.inv_inertia)          # (B, 3, 3)
+    scal[:, 0, 5] = inv_i[:, 0, 0]
+    scal[:, 0, 6] = inv_i[:, 1, 1]
+    scal[:, 0, 7] = inv_i[:, 2, 2]
+    scal[:, 0, 8] = inv_i[:, 0, 1]
+    scal[:, 0, 9] = inv_i[:, 0, 2]
+    scal[:, 0, 10] = inv_i[:, 1, 2]
+    return jnp.asarray(coefs), jnp.asarray(points), jnp.asarray(scal)
