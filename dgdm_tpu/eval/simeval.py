@@ -94,22 +94,44 @@ def sim_eval_batch_2d(
         np.linspace(ori_range[0], ori_range[1], num_rot) * np.pi + np.pi
     ).astype(np.float32)
 
+    use_pallas = jax.default_backend() == "tpu" and calib is None
     results = []
     for contour in contours:
         scenes = [
             engine2d.make_scene(y[i, :n], y[i, n:], contour) for i in range(b)
         ]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
-        d_theta, d_pos, f_theta, f_pos = jax.tree.map(
-            np.asarray,
-            eval_rollout_batch(
-                stacked,
-                jnp.asarray(thetas),
-                total_steps=total_steps,
-                regrasp_every=regrasp_every,
-                calib=calib,
-            ),
-        )
+        if use_pallas:
+            from dgdm_tpu.sim import pallas2d
+
+            nr = thetas.shape[0]
+            pad = (-nr) % pallas2d.LANE
+            th_p = np.concatenate([thetas, np.full(pad, thetas[-1],
+                                                   np.float32)])
+            poses = np.stack(
+                [np.zeros_like(th_p), np.zeros_like(th_p), th_p], -1
+            )
+            arrs = pallas2d.scene_arrays(stacked)
+            dth_, dpos_, fth_, fpos_ = pallas2d.profile_batch_pallas(
+                *arrs, jnp.asarray(poses),
+                steps=total_steps, regrasp_every=regrasp_every,
+                snapshot_step=regrasp_every,
+            )
+            d_theta = np.asarray(dth_)[:, :nr]
+            d_pos = np.asarray(dpos_)[:, :nr]
+            f_theta = np.asarray(fth_)[:, :nr]
+            f_pos = np.asarray(fpos_)[:, :nr]
+        else:
+            d_theta, d_pos, f_theta, f_pos = jax.tree.map(
+                np.asarray,
+                eval_rollout_batch(
+                    stacked,
+                    jnp.asarray(thetas),
+                    total_steps=total_steps,
+                    regrasp_every=regrasp_every,
+                    calib=calib,
+                ),
+            )
         for i in range(b):
             results.append(
                 profile_metrics_2d(

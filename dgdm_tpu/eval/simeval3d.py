@@ -76,6 +76,7 @@ def sim_eval_batch_3d(
     ).astype(np.float32)
     th3 = NORM.threshold_3d
 
+    use_pallas = jax.default_backend() == "tpu"
     results = []
     for verts, faces in objects:
         scenes = [
@@ -83,13 +84,38 @@ def sim_eval_batch_3d(
             for i in range(b)
         ]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
-        d_theta, d_pos, f_theta, f_pos = jax.tree.map(
-            np.asarray,
-            eval_rollout_batch_3d(
-                stacked, jnp.asarray(thetas),
-                total_steps=total_steps, regrasp_every=regrasp_every,
-            ),
-        )
+        if use_pallas:
+            from dgdm_tpu.sim import pallas3d
+
+            nr = thetas.shape[0]
+            pad = (-nr) % pallas3d.LANE
+            th_p = np.concatenate(
+                [thetas, np.full(pad, thetas[-1], np.float32)]
+            )
+            poses = np.stack(
+                [np.zeros_like(th_p), np.zeros_like(th_p), th_p], -1
+            )
+            arrs = pallas3d.scene_arrays_3d(stacked)
+            dth_, sdpos_, fth_, _valid, fpos_ = (
+                pallas3d.profile_batch_pallas3d(
+                    *arrs, jnp.asarray(poses),
+                    steps=total_steps, regrasp_every=regrasp_every,
+                    snapshot_step=regrasp_every,
+                )
+            )
+            d_theta = np.asarray(dth_)[:, :nr]
+            d_pos = np.asarray(sdpos_)[:, :nr]
+            f_theta = np.asarray(fth_)[:, :nr]
+            # eval poses start at the origin: final delta == absolute origin
+            f_pos = np.asarray(fpos_)[:, :nr]
+        else:
+            d_theta, d_pos, f_theta, f_pos = jax.tree.map(
+                np.asarray,
+                eval_rollout_batch_3d(
+                    stacked, jnp.asarray(thetas),
+                    total_steps=total_steps, regrasp_every=regrasp_every,
+                ),
+            )
         for i in range(b):
             fdt = np.asarray(
                 [wrap_pi(f - t0) for f, t0 in zip(f_theta[i], thetas)]

@@ -56,7 +56,7 @@ def profile_pairs_2d(
         else:
             poses_p = poses
         arrs = pallas2d.scene_arrays(scenes)
-        dth, dpos, fth = pallas2d.profile_batch_pallas(
+        dth, dpos, fth, _ = pallas2d.profile_batch_pallas(
             *arrs, jnp.asarray(poses_p)
         )
         return {

@@ -63,16 +63,19 @@ def _rollout_kernel(
     scal_ref,        # (1, 1, 8): mass, inertia, fmass, com_x, com_y, pad...
     poses_ref,       # (3, LANE)
     # outputs
-    dth_ref,         # (1, 1, LANE)
+    dth_ref,         # (1, 1, LANE)  delta at snapshot_step (the profile)
     dpx_ref,         # (1, 1, LANE)
     dpy_ref,         # (1, 1, LANE)
-    fth_ref,         # (1, 1, LANE)
+    fth_ref,         # (1, 1, LANE)  final theta after all steps
+    fpx_ref,         # (1, 1, LANE)  final origin x
+    fpy_ref,         # (1, 1, LANE)  final origin y
     *,
     steps: int,
     dt: float,
     regrasp_every: int,
     solver_iters: int,
     ctrl_mag: float,
+    snapshot_step: int,
 ):
     g = GRIPPER_2D
     x0f, x1f = g.ctrl_x_min, g.ctrl_x_max
@@ -106,6 +109,7 @@ def _rollout_kernel(
         zero, zero, zero,                          # vel x, y, om
         zero, zero,                                # zb, vz
         zero, zero, zero, zero,                    # ql, qr, qdl, qdr
+        com_x + zero, com_y + zero, theta0 + zero, # snapshot (com, theta)
     )
 
     ctrl_l = jnp.float32(min(ctrl_mag, g.ctrl_clamped))
@@ -113,7 +117,8 @@ def _rollout_kernel(
     d_imp = jnp.float32(IMPEDANCE)
 
     def step_body(i, st):
-        (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr) = st
+        (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr,
+         scx, scy, sth) = st
         if regrasp_every:
             do_rg = (i % regrasp_every == 0) & (i > 0)
             ql = jnp.where(do_rg, 0.0, ql)
@@ -270,31 +275,50 @@ def _rollout_kernel(
              lam_nl, lam_nr, lam_tl, lam_tr, lam_sx, lam_sy, lam_w),
         )
 
+        cx2 = cx + dt * vx
+        cy2 = cy + dt * vy
+        th2 = th + dt * om
+        take = (i + 1) == snapshot_step
+        scx = jnp.where(take, cx2, scx)
+        scy = jnp.where(take, cy2, scy)
+        sth = jnp.where(take, th2, sth)
         return (
-            cx + dt * vx, cy + dt * vy, th + dt * om,
+            cx2, cy2, th2,
             vx, vy, om,
             zb + dt * vz, vz,
             ql + dt * qdl, qr + dt * qdr, qdl, qdr,
+            scx, scy, sth,
         )
 
     state = jax.lax.fori_loop(0, steps, step_body, state)
     (cx, cy, th, *_r) = state
+    scx, scy, sth = state[12], state[13], state[14]
+    if snapshot_step <= 0 or snapshot_step >= steps:
+        scx, scy, sth = cx, cy, th
 
     two_pi = jnp.float32(2.0 * np.pi)
-    d_theta = th - theta0
+    d_theta = sth - theta0
     d_theta = d_theta - two_pi * jnp.round(d_theta / two_pi)
+    c1, s1 = jnp.cos(sth), jnp.sin(sth)
+    sorg_x = scx - (c1 * com_bx - s1 * com_by)
+    sorg_y = scy - (s1 * com_bx + c1 * com_by)
     c, s = jnp.cos(th), jnp.sin(th)
     org_x = cx - (c * com_bx - s * com_by)
     org_y = cy - (s * com_bx + c * com_by)
     dth_ref[0, 0, :] = d_theta[0, :]
-    dpx_ref[0, 0, :] = (org_x - pose_x)[0, :]
-    dpy_ref[0, 0, :] = (org_y - pose_y)[0, :]
+    dpx_ref[0, 0, :] = (sorg_x - pose_x)[0, :]
+    dpy_ref[0, 0, :] = (sorg_y - pose_y)[0, :]
     fth_ref[0, 0, :] = jnp.mod(th, two_pi)[0, :]
+    fpx_ref[0, 0, :] = org_x[0, :]
+    fpy_ref[0, 0, :] = org_y[0, :]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("steps", "dt", "regrasp_every", "solver_iters", "ctrl_mag"),
+    static_argnames=(
+        "steps", "dt", "regrasp_every", "solver_iters", "ctrl_mag",
+        "snapshot_step",
+    ),
 )
 def profile_batch_pallas(
     coefs: jnp.ndarray,       # (B, 2, 6, 4)
@@ -307,9 +331,14 @@ def profile_batch_pallas(
     regrasp_every: int = 0,
     solver_iters: int = SOLVER_ITERS,
     ctrl_mag: float = SIM.ctrl_2d,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    snapshot_step: int = 0,
+) -> Tuple[jnp.ndarray, ...]:
     """Fused rollouts: (B pairs) x (N poses) -> (dtheta (B, N),
-    dpos (B, N, 2), final_theta (B, N))."""
+    dpos (B, N, 2), final_theta (B, N), final_pos (B, N, 2)).
+
+    ``snapshot_step`` > 0 records delta_theta/delta_pos at that step (the
+    first-squeeze profile of the eval schedule) while the rollout continues
+    to ``steps``; 0 snapshots at the end (datagen behavior)."""
     b, p = contour.shape[0], contour.shape[1]
     s = support.shape[1]
     n = poses.shape[0]
@@ -323,17 +352,18 @@ def profile_batch_pallas(
         regrasp_every=regrasp_every,
         solver_iters=solver_iters,
         ctrl_mag=ctrl_mag,
+        snapshot_step=snapshot_step,
     )
     grid = (b, n // LANE)
     out_shape = [
-        jax.ShapeDtypeStruct((b, 1, n), jnp.float32) for _ in range(4)
+        jax.ShapeDtypeStruct((b, 1, n), jnp.float32) for _ in range(6)
     ]
     out_specs = [
         pl.BlockSpec((1, 1, LANE), lambda i, j: (i, 0, j),
                      memory_space=pltpu.VMEM)
-        for _ in range(4)
+        for _ in range(6)
     ]
-    dth, dpx, dpy, fth = pl.pallas_call(
+    dth, dpx, dpy, fth, fpx, fpy = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -357,9 +387,12 @@ def profile_batch_pallas(
         scalars.astype(jnp.float32),
         poses_t,
     )
-    dth, dpx, dpy, fth = (a[:, 0, :] for a in (dth, dpx, dpy, fth))
+    dth, dpx, dpy, fth, fpx, fpy = (
+        a[:, 0, :] for a in (dth, dpx, dpy, fth, fpx, fpy)
+    )
     dpos = jnp.stack([dpx, dpy], axis=-1)
-    return dth, dpos, fth
+    fpos = jnp.stack([fpx, fpy], axis=-1)
+    return dth, dpos, fth, fpos
 
 
 def scene_arrays(scenes) -> Tuple[jnp.ndarray, ...]:

@@ -71,12 +71,14 @@ def _rollout3d_kernel(
     scal_ref,        # (1, 1, 16): mass, fmass, com(3), invI(9) upper-tri(6)+...
     poses_ref,       # (3, LANE)
     qw_ref, qz_ref, dpx_ref, dpy_ref, valid_ref,     # (1, 1, LANE) each
+    sqw_ref, sqz_ref, sdx_ref, sdy_ref,              # snapshot outputs
     *,
     steps: int,
     dt: float,
     regrasp_every: int,
     solver_iters: int,
     ctrl_mag: float,
+    snapshot_step: int,
 ):
     g = GRIPPER_3D
     x0f, x1f = g.ctrl_x_min, g.ctrl_x_max
@@ -120,6 +122,7 @@ def _rollout3d_kernel(
         zero, zero, zero,            # vel
         zero, zero, zero,            # om (world)
         zero, zero, zero, zero,      # ql, qr, qdl, qdr
+        px + zero, py + zero, qw0 + zero, qz0 + zero,  # snapshot
     )
 
     ctrl_l = jnp.float32(min(ctrl_mag, g.ctrl_clamped))
@@ -128,7 +131,7 @@ def _rollout3d_kernel(
 
     def step_body(i, st):
         (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-         ox, oy, oz, ql, qr, qdl, qdr) = st
+         ox, oy, oz, ql, qr, qdl, qdr, spx, spy, sqw, sqz) = st
         if regrasp_every:
             rg = (i % regrasp_every == 0) & (i > 0)
             z_ = jnp.float32(0.0)
@@ -337,12 +340,19 @@ def _rollout3d_kernel(
         qw, qx, qy, qz = qw * qn, qx * qn, qy * qn, qz * qn
         ql = ql + dt * qdl
         qr = qr + dt * qdr
+        take = (i + 1) == snapshot_step
+        spx = jnp.where(take, px, spx)
+        spy = jnp.where(take, py, spy)
+        sqw = jnp.where(take, qw, sqw)
+        sqz = jnp.where(take, qz, sqz)
         return (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-                ox, oy, oz, ql, qr, qdl, qdr)
+                ox, oy, oz, ql, qr, qdl, qdr, spx, spy, sqw, sqz)
 
     state = jax.lax.fori_loop(0, steps, step_body, state)
     (px, py, pz, qw, qx, qy, qz, *_rest) = state
-    (ql_, qr_) = state[13], state[14]
+    spx, spy, sqw, sqz = state[17], state[18], state[19], state[20]
+    if snapshot_step <= 0 or snapshot_step >= steps:
+        spx, spy, sqw, sqz = px, py, qw, qz
 
     # angle readout happens OUTSIDE the kernel (Mosaic lacks atan2):
     # emit the final z-quaternion components instead
@@ -357,16 +367,28 @@ def _rollout3d_kernel(
     org_y = py - (r10 * com_x + r11 * com_y + r12 * com_z)
     valid = (jnp.abs(qx) < SIM.tipover_atol) & (jnp.abs(qy) < SIM.tipover_atol)
 
+    # snapshot origin (z-rotation assumption holds within tip tolerance)
+    sc = 1 - 2 * sqz * sqz
+    ss = 2 * sqw * sqz
+    sorg_x = spx - (sc * com_x - ss * com_y)
+    sorg_y = spy - (ss * com_x + sc * com_y)
     qw_ref[0, 0, :] = qw[0, :]
     qz_ref[0, 0, :] = qz[0, :]
     dpx_ref[0, 0, :] = (org_x - pose_x)[0, :]
     dpy_ref[0, 0, :] = (org_y - pose_y)[0, :]
     valid_ref[0, 0, :] = valid.astype(jnp.float32)[0, :]
+    sqw_ref[0, 0, :] = sqw[0, :]
+    sqz_ref[0, 0, :] = sqz[0, :]
+    sdx_ref[0, 0, :] = (sorg_x - pose_x)[0, :]
+    sdy_ref[0, 0, :] = (sorg_y - pose_y)[0, :]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("steps", "dt", "regrasp_every", "solver_iters", "ctrl_mag"),
+    static_argnames=(
+        "steps", "dt", "regrasp_every", "solver_iters", "ctrl_mag",
+        "snapshot_step",
+    ),
 )
 def profile_batch_pallas3d(
     coefs: jnp.ndarray,    # (B, 2, N_SEG, 4, 3)
@@ -378,6 +400,7 @@ def profile_batch_pallas3d(
     regrasp_every: int = 0,
     solver_iters: int = SOLVER_ITERS,
     ctrl_mag: float = SIM.ctrl_3d,
+    snapshot_step: int = 0,
 ) -> Tuple[jnp.ndarray, ...]:
     b, p = points.shape[0], points.shape[1]
     n = poses.shape[0]
@@ -387,15 +410,16 @@ def profile_batch_pallas3d(
         _rollout3d_kernel,
         steps=steps, dt=dt, regrasp_every=regrasp_every,
         solver_iters=solver_iters, ctrl_mag=ctrl_mag,
+        snapshot_step=snapshot_step,
     )
     grid = (b, n // LANE)
-    out_shape = [jax.ShapeDtypeStruct((b, 1, n), jnp.float32) for _ in range(5)]
+    out_shape = [jax.ShapeDtypeStruct((b, 1, n), jnp.float32) for _ in range(9)]
     out_specs = [
         pl.BlockSpec((1, 1, LANE), lambda i, j: (i, 0, j),
                      memory_space=pltpu.VMEM)
-        for _ in range(5)
+        for _ in range(9)
     ]
-    qw, qz, dpx, dpy, valid = pl.pallas_call(
+    qw, qz, dpx, dpy, valid, sqw, sqz, sdx, sdy = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -416,14 +440,18 @@ def profile_batch_pallas3d(
         scalars.astype(jnp.float32),
         poses_t,
     )
-    qw, qz, dpx, dpy, valid = (a[:, 0, :] for a in (qw, qz, dpx, dpy, valid))
+    qw, qz, dpx, dpy, valid, sqw, sqz, sdx, sdy = (
+        a[:, 0, :] for a in (qw, qz, dpx, dpy, valid, sqw, sqz, sdx, sdy)
+    )
     two_pi = 2.0 * np.pi
-    theta_f = jnp.mod(2.0 * jnp.arctan2(qz, qw), two_pi)
     theta0 = jnp.mod(poses[:, 2], two_pi)[None, :]
-    dth = theta_f - theta0
+    theta_s = jnp.mod(2.0 * jnp.arctan2(sqz, sqw), two_pi)
+    dth = theta_s - theta0
     dth = dth - two_pi * jnp.round(dth / two_pi)
-    dpos = jnp.stack([dpx, dpy], axis=-1)
-    return dth, dpos, theta_f, valid > 0.5
+    theta_f = jnp.mod(2.0 * jnp.arctan2(qz, qw), two_pi)
+    sdpos = jnp.stack([sdx, sdy], axis=-1)
+    fpos = jnp.stack([dpx, dpy], axis=-1)
+    return dth, sdpos, theta_f, valid > 0.5, fpos
 
 
 def scene_arrays_3d(scenes) -> Tuple[jnp.ndarray, ...]:
