@@ -1,0 +1,97 @@
+"""3D datagen CLI — counterpart of ``sim/run_sim_3d.sh`` + ``sim/sim_3d.py``.
+
+Objects are directories containing ``model.obj`` (the MuJoCo scanned-objects
+layout the reference uses, ``sim/sim_3d.py:99-105``); names come from
+``object_names.txt`` in --object_dir, filtered like
+``assets/scan_object_process.py:42-56``. Without --object_dir a synthetic box
+set is used for smoke runs.
+
+Example (reference: 300 objects x 2000 grippers):
+    python -m dgdm_tpu.cli.datagen3d --object_dir scanned_objects \
+        --num_objects 300 --num_fingers 2000 --save_dir data/sim3d
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from dgdm_tpu.core.flags import build_parser
+from dgdm_tpu.geom import mesh3d
+from dgdm_tpu.sim.datagen3d import generate_3d
+
+
+def load_object_names(object_dir: str):
+    path = os.path.join(object_dir, "object_names.txt")
+    if os.path.exists(path):
+        with open(path) as f:
+            return [ln.strip() for ln in f if ln.strip()]
+    # fall back to scanning subdirectories with model.obj, applying the
+    # reference bbox filter
+    names = []
+    for d in sorted(os.listdir(object_dir)):
+        obj = os.path.join(object_dir, d, "model.obj")
+        if os.path.exists(obj):
+            verts, _ = mesh3d.load_obj(obj)
+            if mesh3d.filter_object(verts):
+                names.append(d)
+    return names
+
+
+def synthetic_box(idx: int):
+    rng = np.random.RandomState(idx)
+    hx, hy = rng.uniform(0.02, 0.06, 2)
+    hz = rng.uniform(0.02, 0.05)
+    return mesh3d.box_mesh(hx, hy, hz, hz)
+
+
+def main(argv=None):
+    p = build_parser()
+    p.add_argument("--num_objects", type=int, default=1)
+    p.add_argument("--object_start", type=int, default=0)
+    p.add_argument("--gripper_start", type=int, default=0)
+    args = p.parse_args(argv)
+
+    if args.object_dir:
+        names = load_object_names(args.object_dir)
+    else:
+        names = None
+
+    t0 = time.time()
+    done = 0
+    for oi in range(args.object_start, args.object_start + args.num_objects):
+        if names is not None:
+            name = names[oi]
+            verts, faces = mesh3d.load_obj(
+                os.path.join(args.object_dir, name, "model.obj")
+            )
+        else:
+            name = f"box_{oi}"
+            verts, faces = synthetic_box(oi)
+        for g0 in range(
+            args.gripper_start, args.gripper_start + args.num_fingers,
+            args.pairs_per_batch,
+        ):
+            gidx = list(
+                range(g0, min(g0 + args.pairs_per_batch,
+                              args.gripper_start + args.num_fingers))
+            )
+            recs = generate_3d(
+                oi, name, verts, faces, gidx, save_dir=args.save_dir,
+                grid_size=args.grid_size, num_pos=args.num_pos,
+            )
+            done += len(gidx)
+            kept = sum(r is not None for r in recs)
+            rate = done * args.grid_size * args.num_pos**2 / (time.time() - t0)
+            print(
+                f"object {oi} ({name}) grippers {gidx[0]}..{gidx[-1]}: "
+                f"{kept}/{len(gidx)} kept (tip-over give-up), "
+                f"{rate:,.0f} rollouts/s cumulative",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -107,3 +107,22 @@ def filter_object(verts: np.ndarray, xy_extent: float = 0.1,
         and lo[1] > -xy_extent and hi[1] < xy_extent
         and hi[2] < z_max
     )
+
+
+def box_mesh(hx: float = 0.04, hy: float = 0.04, hz: float = 0.05,
+             cz: float = 0.05):
+    """Axis-aligned watertight box centered at (0, 0, cz) — synthetic test
+    object (half-extents hx, hy, hz)."""
+    sgn = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+    )
+    verts = sgn * [hx, hy, hz] + [0, 0, cz]
+    faces = []
+    for axis in range(3):
+        for side in (0, 1):
+            ids = [i for i in range(8) if (sgn[i][axis] > 0) == bool(side)]
+            a, b, c, d = ids
+            quad = [a, b, d, c] if (axis == 1) == bool(side) else [a, c, d, b]
+            faces.append([quad[0], quad[1], quad[2]])
+            faces.append([quad[0], quad[2], quad[3]])
+    return verts.astype(np.float64), np.asarray(faces)

@@ -11,22 +11,7 @@ from dgdm_tpu.geom.fingers import sample_gripper_3d
 from dgdm_tpu.sim import engine3d
 
 
-def box_mesh(hx=0.04, hy=0.04, hz=0.05, cz=0.05):
-    """Axis-aligned box centered at (0, 0, cz) — a simple watertight object."""
-    sgn = np.array(
-        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
-    )
-    verts = sgn * [hx, hy, hz] + [0, 0, cz]
-    faces = []
-    for axis in range(3):
-        for side in (0, 1):
-            ids = [i for i in range(8) if (sgn[i][axis] > 0) == bool(side)]
-            a, b, c, d = ids
-            # orient outward
-            quad = [a, b, d, c] if (axis == 1) == bool(side) else [a, c, d, b]
-            faces.append([quad[0], quad[1], quad[2]])
-            faces.append([quad[0], quad[2], quad[3]])
-    return verts.astype(np.float64), np.asarray(faces)
+from dgdm_tpu.geom.mesh3d import box_mesh  # shared synthetic object
 
 
 def test_mesh_mass_properties_box():
