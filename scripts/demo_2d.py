@@ -1,0 +1,180 @@
+"""End-to-end 2D demo at realistic (small) scale on TPU.
+
+Runs the full pipeline with REAL training: datagen -> dynamics training ->
+diffusion training -> guided sampling for several objectives -> on-device
+sim verification; writes metrics to runs/demo2d/summary.json.
+
+    python scripts/demo_2d.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgdm_tpu.cli.datagen import synthetic_icon
+from dgdm_tpu.core.config import GUIDANCE, NORM
+from dgdm_tpu.design.guidance import GuidedSampler
+from dgdm_tpu.eval.metrics import best_ids_all_metrics
+from dgdm_tpu.eval.simeval import objectives_table, sim_eval_batch_2d
+from dgdm_tpu.geom.contour import extract_contours
+from dgdm_tpu.models.profile2d import ProfileForward2D
+from dgdm_tpu.models.unet1d import ConditionalUnet1D
+from dgdm_tpu.sim.datagen import generate_2d
+from dgdm_tpu.train.data import normalize_record_2d, procedural_grippers
+from dgdm_tpu.train.dynamics import DynamicsTrainer
+from dgdm_tpu.train.generator import GeneratorTrainer
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "runs", "demo2d")
+N_OBJECTS = 3
+N_GRIPPERS = 24
+DYN_STEPS = 300
+DIFF_STEPS = 1500
+OBJECTIVES = ("rotate_clockwise", "rotate_counterclockwise", "shift_left")
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    summary = {}
+
+    # ---- datagen ----------------------------------------------------------
+    t0 = time.time()
+    contours = [extract_contours(synthetic_icon(i)) for i in range(N_OBJECTS)]
+    records = []
+    for oi, contour in enumerate(contours):
+        records += generate_2d(oi, contour, list(range(N_GRIPPERS)))
+    dg_time = time.time() - t0
+    n_roll = len(records) * records[0]["obj_theta"].shape[0]
+    summary["datagen"] = {
+        "pairs": len(records),
+        "rollouts": n_roll,
+        "seconds": dg_time,
+        "rollouts_per_sec": n_roll / dg_time,
+        "delta_theta_std": float(
+            np.std([r["delta_theta"] for r in records])
+        ),
+    }
+    print("datagen:", summary["datagen"], flush=True)
+
+    # ---- dynamics training -------------------------------------------------
+    rows = [normalize_record_2d(r) for r in records]
+    val_n = max(1, len(rows) // 10)
+    train_rows, val_rows = rows[val_n:], rows[:val_n]
+
+    def stack(rs):
+        return {
+            k: np.concatenate([r[k] for r in rs], 0) for k in rs[0]
+        }
+
+    train_all = stack(train_rows)
+    val_all = {k: jnp.asarray(v) for k, v in stack(val_rows).items()}
+    n_rows = train_all["ctrl"].shape[0]
+    classifier = ProfileForward2D()
+    dtr = DynamicsTrainer(classifier, learning_rate=3e-4,
+                          total_steps=DYN_STEPS)
+    rng = np.random.RandomState(0)
+    bs = 16384
+    first = {k: jnp.asarray(v[:256]) for k, v in train_all.items()}
+    dstate = dtr.init(jax.random.PRNGKey(0), first)
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    first_loss = None
+    for step in range(DYN_STEPS):
+        idx = rng.randint(0, n_rows, bs)
+        batch = {k: jnp.asarray(v[idx]) for k, v in train_all.items()}
+        key, k = jax.random.split(key)
+        dstate, m = dtr.train_step(dstate, batch, k)
+        if step == 0:
+            first_loss = float(m["loss"])
+    vm = dtr.eval_step(dstate, val_all, key)
+    summary["dynamics"] = {
+        "steps": DYN_STEPS,
+        "rows_per_batch": bs,
+        "seconds": time.time() - t0,
+        "first_loss": first_loss,
+        "final_loss": float(m["loss"]),
+        "val_loss": float(vm["loss"]),
+        "val_acc_ori": float(vm["acc_ori"]),
+        "val_acc_x": float(vm["acc_x"]),
+        "val_acc_y": float(vm["acc_y"]),
+    }
+    print("dynamics:", summary["dynamics"], flush=True)
+
+    # ---- diffusion training -------------------------------------------------
+    train_g, val_g = procedural_grippers(20000)
+    unet = ConditionalUnet1D()
+    gtr = GeneratorTrainer(unet, total_steps=DIFF_STEPS)
+    gstate = gtr.init(jax.random.PRNGKey(0), jnp.asarray(train_g[:512]))
+    t0 = time.time()
+    gfirst = None
+    for step in range(DIFF_STEPS):
+        idx = rng.randint(0, len(train_g), 512)
+        key, k = jax.random.split(key)
+        gstate, gm = gtr.train_step(gstate, jnp.asarray(train_g[idx]), k)
+        if step == 0:
+            gfirst = float(gm["loss"])
+    summary["diffusion"] = {
+        "steps": DIFF_STEPS,
+        "seconds": time.time() - t0,
+        "first_loss": gfirst,
+        "final_loss": float(gm["loss"]),
+    }
+    print("diffusion:", summary["diffusion"], flush=True)
+
+    # unguided samples should look like real grippers (within [-1, 1])
+    noise = jax.random.normal(jax.random.PRNGKey(7), (16, 14, 1))
+    unguided = gtr.sample(gstate, noise)
+    summary["unguided_sample_range"] = [
+        float(jnp.min(unguided)), float(jnp.max(unguided))
+    ]
+
+    # ---- guided sampling + sim verification --------------------------------
+    sampler = GuidedSampler(unet, classifier)
+    cls_vars = {"params": dstate.params, "batch_stats": dstate.batch_stats}
+    guided_summary = {}
+    test_contour = contours[0]
+    obj_flat = jnp.asarray(
+        test_contour.reshape(-1) / NORM.object_extent_2d
+    )
+    # unguided baseline metrics
+    t0 = time.time()
+    m_un = sim_eval_batch_2d(np.asarray(unguided)[..., 0], [test_contour])
+    eval_time = time.time() - t0
+    for objective in OBJECTIVES:
+        scale = jnp.asarray(GUIDANCE.scale(False, objective))
+        t0 = time.time()
+        samples = sampler.sample(
+            gstate.ema_params, cls_vars, noise, obj_flat, objective, scale
+        )
+        jax.block_until_ready(samples)
+        sample_time = time.time() - t0
+        metrics = sim_eval_batch_2d(np.asarray(samples)[..., 0], [test_contour])
+        objs = objectives_table(metrics, objective)
+        objs_un = objectives_table(m_un, objective)
+        sr = float(np.mean([o["success_rate"] for o in objs]))
+        sr_un = float(np.mean([o["success_rate"] for o in objs_un]))
+        best = best_ids_all_metrics(objs, objective)
+        best_sr = objs[best["success_rate"]]["success_rate"]
+        guided_summary[objective] = {
+            "guided_mean_success": sr,
+            "unguided_mean_success": sr_un,
+            "guided_best_success": best_sr,
+            "sample_seconds": sample_time,
+        }
+        print(objective, guided_summary[objective], flush=True)
+    summary["guided"] = guided_summary
+    summary["sim_eval_seconds_16x360x8000steps"] = eval_time
+
+    with open(os.path.join(OUT, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
