@@ -12,7 +12,6 @@ Example (reference: 1000 objects x 1000 grippers):
 
 from __future__ import annotations
 
-import sys
 import time
 
 import numpy as np

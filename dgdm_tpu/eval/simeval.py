@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dgdm_tpu.core.config import GRIPPER_2D, SIM
+from dgdm_tpu.core.config import SIM
 from dgdm_tpu.eval.metrics import metric2objective, profile_metrics_2d
 from dgdm_tpu.geom.fingers import denormalize_y
 from dgdm_tpu.sim import engine2d

@@ -6,7 +6,7 @@ gripper re-grasp every 800 steps, profile recorded after the first squeeze.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ over NCCL (``sim/sim_2d.py:194-202``, ``dynamics/trainer.py:41-43``,
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

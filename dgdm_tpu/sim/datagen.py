@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dgdm_tpu.core.config import GRIPPER_2D, SIM
-from dgdm_tpu.geom.fingers import ctrl_x_2d, ctrlpts_2d, sample_gripper_2d
+from dgdm_tpu.geom.fingers import ctrlpts_2d, sample_gripper_2d
 from dgdm_tpu.geom.spline import cubic_basis_matrix
 from dgdm_tpu.sim import engine2d
 

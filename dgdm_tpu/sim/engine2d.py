@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dgdm_tpu.core.config import GRIPPER_2D, OBJECT_2D, SIM, NORM
+from dgdm_tpu.core.config import GRIPPER_2D, OBJECT_2D, SIM
 from dgdm_tpu.geom import contour as contour_lib
 from dgdm_tpu.geom import polygon as polygon_lib
 from dgdm_tpu.geom.spline import gripper2d_spline

@@ -14,8 +14,6 @@ tipping is resolved correctly); the reference's tip-over give-up
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,6 @@ the TPU path.
 
 from __future__ import annotations
 
-import io
 from typing import Optional, Tuple
 
 import numpy as np
