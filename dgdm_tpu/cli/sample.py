@@ -174,6 +174,25 @@ def main(argv=None):
                 os.path.join(args.save_dir, f"samples_{objective}_{oid}.npy"),
                 np.asarray(samples),
             )
+            if args.render_video and not args.fingers_3d:
+                # plots for the best-success gripper (reference logs wandb
+                # tables with these images, generator/diffusion.py:606-619)
+                from dgdm_tpu.eval import viz
+                from dgdm_tpu.geom.fingers import denormalize_y
+
+                bi = best.get("success_rate", 0)
+                yb = np.asarray(
+                    denormalize_y(np.asarray(samples)[bi, :, 0])
+                )
+                nn_ = len(yb) // 2
+                stem = os.path.join(args.save_dir, f"{objective}_{oid}")
+                viz.render_gripper_2d(yb[:nn_], yb[nn_:], stem + "_gripper.png")
+                viz.visualize_profile(
+                    metrics[bi]["profile"] - 1, stem + "_profile.png"
+                )
+                viz.visualize_finals(
+                    metrics[bi]["final_theta"], stem + "_final.png"
+                )
         report[objective] = per_object
         print(f"objective {objective} done", flush=True)
     with open(os.path.join(args.save_dir, "guided_report.json"), "w") as f:
