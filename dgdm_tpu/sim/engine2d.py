@@ -193,7 +193,10 @@ def _point_kinematics(scene: Scene2D, state: State2D):
 # construct the cached spline at import time, outside any jit trace
 _SPLINE = gripper2d_spline()
 
-SOLVER_ITERS = 8
+# contact-solver iterations: measured against the MuJoCo oracle, 6 matches 8
+# on profile statistics (smoothed corr 0.42 vs 0.44, class agreement 0.62
+# both) at ~30% higher rollout throughput; see docs/BENCH_NOTES.md
+SOLVER_ITERS = 6
 IMPEDANCE = 0.95  # MuJoCo solimp d at full penetration
 
 
