@@ -159,27 +159,25 @@ def _rollout_kernel(
         surf_r = g.jaw_offset + qr + f_val[1]
         inv_l = jax.lax.rsqrt(1.0 + d_val[0] * d_val[0])
         inv_r = jax.lax.rsqrt(1.0 + d_val[1] * d_val[1])
-        nlx, nly = -d_val[0] * inv_l, inv_l
-        nrx, nry = d_val[1] * inv_r, -inv_r
         depth_l = (surf_l - py) * inv_l
         depth_r = (py - surf_r) * inv_r
-        act_l = ((depth_l > 0.0) & x_in).astype(jnp.float32)
-        act_r = ((depth_r > 0.0) & x_in).astype(jnp.float32)
-        cnt_l = jnp.maximum(jnp.sum(act_l, 0, keepdims=True), 1.0)
-        cnt_r = jnp.maximum(jnp.sum(act_r, 0, keepdims=True), 1.0)
-        w_l = act_l / cnt_l
-        w_r = act_r / cnt_r
+        # a point can never contact BOTH fingers (the closed jaws stay >1 cm
+        # apart), so the two finger contact sets merge into one: pick the
+        # deeper candidate per point — halves the solver work
+        is_l = depth_l > depth_r
+        is_lf = is_l.astype(jnp.float32)
+        depth = jnp.where(is_l, depth_l, depth_r)
+        nx = jnp.where(is_l, -d_val[0] * inv_l, d_val[1] * inv_r)
+        ny = jnp.where(is_l, inv_l, -inv_r)
+        act = ((depth > 0.0) & x_in).astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(act, 0, keepdims=True), 1.0)
+        w_c = act / cnt
 
-        rxn_l = rx * nly - ry * nlx
-        rxn_r = rx * nry - ry * nrx
-        tlx, tly = -nly, nlx
-        trx, try_ = -nry, nrx
-        rxt_l = rx * tly - ry * tlx
-        rxt_r = rx * try_ - ry * trx
-        me_n_l = 1.0 / (inv_m + rxn_l * rxn_l * inv_i + nly * nly * inv_fm)
-        me_n_r = 1.0 / (inv_m + rxn_r * rxn_r * inv_i + nry * nry * inv_fm)
-        me_t_l = 1.0 / (inv_m + rxt_l * rxt_l * inv_i + tly * tly * inv_fm)
-        me_t_r = 1.0 / (inv_m + rxt_r * rxt_r * inv_i + try_ * try_ * inv_fm)
+        rxn = rx * ny - ry * nx
+        tx_, ty_ = -ny, nx
+        rxt = rx * ty_ - ry * tx_
+        me_n = 1.0 / (inv_m + rxn * rxn * inv_i + ny * ny * inv_fm)
+        me_t = 1.0 / (inv_m + rxt * rxt * inv_i + ty_ * ty_ * inv_fm)
 
         # plane normal (z penalty)
         depth_z = SIM.plane_z - zb
@@ -189,12 +187,11 @@ def _rollout_kernel(
         rsy = sbx * s + sby * c
 
         # soft-constraint velocity targets from pre-update velocities
+        qd_c0 = jnp.where(is_l, qdl, qdr)          # coupled finger velocity
         vpl_x = vx - om * ry
         vpl_y = vy + om * rx
-        vn0_l = (vpl_x) * nlx + (vpl_y - qdl) * nly
-        vn0_r = (vpl_x) * nrx + (vpl_y - qdr) * nry
-        tgt_l = (1.0 - d_imp * B_CONTACT * dt) * vn0_l + d_imp * dt * K_CONTACT * depth_l
-        tgt_r = (1.0 - d_imp * B_CONTACT * dt) * vn0_r + d_imp * dt * K_CONTACT * depth_r
+        vn0 = vpl_x * nx + (vpl_y - qd_c0) * ny
+        tgt = (1.0 - d_imp * B_CONTACT * dt) * vn0 + d_imp * dt * K_CONTACT * depth
 
         # unconstrained update
         f_l = g.kp * (ctrl_l - ql) - g.joint_damping * qdl
@@ -203,48 +200,36 @@ def _rollout_kernel(
         qdl = qdl + dt * f_l * inv_fm
         qdr = qdr + dt * f_r * inv_fm
 
-        lam_nl = jnp.zeros_like(depth_l)
-        lam_nr = jnp.zeros_like(depth_r)
-        lam_tl = jnp.zeros_like(depth_l)
-        lam_tr = jnp.zeros_like(depth_r)
+        lam_n = jnp.zeros_like(depth)
+        lam_t = jnp.zeros_like(depth)
         lam_sx = jnp.zeros_like(n_i)
         lam_sy = jnp.zeros_like(n_i)
         lam_w = jnp.zeros_like(n_i)
 
         def solve(j, carry):
             (vx, vy, om, qdl, qdr,
-             lam_nl, lam_nr, lam_tl, lam_tr, lam_sx, lam_sy, lam_w) = carry
+             lam_n, lam_t, lam_sx, lam_sy, lam_w) = carry
+            qd_cc = jnp.where(is_l, qdl, qdr)
             vpx = vx - om * ry
-            vpy = vy + om * rx
-            vn_l = vpx * nlx + (vpy - qdl) * nly
-            vn_r = vpx * nrx + (vpy - qdr) * nry
-            vt_l = vpx * tlx + (vpy - qdl) * tly
-            vt_r = vpx * trx + (vpy - qdr) * try_
+            vpy = vy + om * rx - qd_cc
+            vn = vpx * nx + vpy * ny
+            vt = vpx * tx_ + vpy * ty_
 
-            dln = w_l * me_n_l * (tgt_l - vn_l)
-            new_nl = jnp.maximum(lam_nl + dln, 0.0)
-            d_nl = new_nl - lam_nl
-            drn = w_r * me_n_r * (tgt_r - vn_r)
-            new_nr = jnp.maximum(lam_nr + drn, 0.0)
-            d_nr = new_nr - lam_nr
+            d_n0 = w_c * me_n * (tgt - vn)
+            new_n = jnp.maximum(lam_n + d_n0, 0.0)
+            d_n = new_n - lam_n
 
-            cap_l = SIM.friction_slide * new_nl
-            cap_r = SIM.friction_slide * new_nr
-            new_tl = jnp.clip(lam_tl - w_l * me_t_l * vt_l, -cap_l, cap_l)
-            new_tr = jnp.clip(lam_tr - w_r * me_t_r * vt_r, -cap_r, cap_r)
-            d_tl = new_tl - lam_tl
-            d_tr = new_tr - lam_tr
+            cap = SIM.friction_slide * new_n
+            new_t = jnp.clip(lam_t - w_c * me_t * vt, -cap, cap)
+            d_t = new_t - lam_t
 
-            imp_x = d_nl * nlx + d_tl * tlx + d_nr * nrx + d_tr * trx
-            imp_y = d_nl * nly + d_tl * tly + d_nr * nry + d_tr * try_
+            imp_x = d_n * nx + d_t * tx_
+            imp_y = d_n * ny + d_t * ty_
             vx = vx + jnp.sum(imp_x, 0, keepdims=True) * inv_m
             vy = vy + jnp.sum(imp_y, 0, keepdims=True) * inv_m
-            om = om + jnp.sum(
-                d_nl * rxn_l + d_tl * rxt_l + d_nr * rxn_r + d_tr * rxt_r,
-                0, keepdims=True,
-            ) * inv_i
-            qdl = qdl - jnp.sum(d_nl * nly + d_tl * tly, 0, keepdims=True) * inv_fm
-            qdr = qdr - jnp.sum(d_nr * nry + d_tr * try_, 0, keepdims=True) * inv_fm
+            om = om + jnp.sum(d_n * rxn + d_t * rxt, 0, keepdims=True) * inv_i
+            qdl = qdl - jnp.sum(is_lf * imp_y, 0, keepdims=True) * inv_fm
+            qdr = qdr - jnp.sum((1.0 - is_lf) * imp_y, 0, keepdims=True) * inv_fm
 
             # plane friction
             vsx = vx - om * rsy
@@ -267,12 +252,12 @@ def _rollout_kernel(
             om = om + jnp.sum(d_w, 0, keepdims=True) * inv_i
 
             return (vx, vy, om, qdl, qdr,
-                    new_nl, new_nr, new_tl, new_tr, nsx, nsy, new_w)
+                    new_n, new_t, nsx, nsy, new_w)
 
         (vx, vy, om, qdl, qdr, *_rest) = jax.lax.fori_loop(
             0, solver_iters, solve,
             (vx, vy, om, qdl, qdr,
-             lam_nl, lam_nr, lam_tl, lam_tr, lam_sx, lam_sy, lam_w),
+             lam_n, lam_t, lam_sx, lam_sy, lam_w),
         )
 
         cx2 = cx + dt * vx
