@@ -203,17 +203,21 @@ def _rollout3d_kernel(
         surf_r = g.jaw_offset + qr + fr
         inv_nl = jax.lax.rsqrt(1.0 + slx * slx + slz * slz)
         inv_nr = jax.lax.rsqrt(1.0 + srx * srx + srz * srz)
-        # left normal (+y-ish), right normal (-y-ish)
-        nlx, nly, nlz = -slx * inv_nl, inv_nl, -slz * inv_nl
-        nrx, nry, nrz = srx * inv_nr, -inv_nr, srz * inv_nr
         depth_l = (surf_l - wy) * inv_nl
         depth_r = (wy - surf_r) * inv_nr
+        # a point can never touch BOTH jaws (they stay apart): merge the two
+        # finger contact sets into one (plane stays separate — a point CAN
+        # touch plane and finger simultaneously)
+        is_l = depth_l > depth_r
+        is_lf = is_l.astype(jnp.float32)
+        depth_f = jnp.where(is_l, depth_l, depth_r)
+        nfx = jnp.where(is_l, -slx * inv_nl, srx * inv_nr)
+        nfy = jnp.where(is_l, inv_nl, -inv_nr)
+        nfz = jnp.where(is_l, -slz * inv_nl, srz * inv_nr)
         depth_p = jnp.float32(SIM.plane_z) - wz
-        act_l = ((depth_l > 0) & in_dom).astype(jnp.float32)
-        act_r = ((depth_r > 0) & in_dom).astype(jnp.float32)
+        act_f = ((depth_f > 0) & in_dom).astype(jnp.float32)
         act_p = (depth_p > 0).astype(jnp.float32)
-        w_l = act_l / jnp.maximum(jnp.sum(act_l, 0, keepdims=True), 1.0)
-        w_r = act_r / jnp.maximum(jnp.sum(act_r, 0, keepdims=True), 1.0)
+        w_f = act_f / jnp.maximum(jnp.sum(act_f, 0, keepdims=True), 1.0)
         w_p = act_p / jnp.maximum(jnp.sum(act_p, 0, keepdims=True), 1.0)
 
         def contact_frame(nx, ny, nz):
@@ -225,24 +229,21 @@ def _rollout3d_kernel(
             ang = cx * wx_ + cy * wy_ + cz * wz_
             return cx, cy, cz, ang
 
-        cl = contact_frame(nlx, nly, nlz)
-        cr = contact_frame(nrx, nry, nrz)
+        cf = contact_frame(nfx, nfy, nfz)
         cp = contact_frame(zero, zero, zero + 1.0)
-        me_l = 1.0 / (inv_m + cl[3] + nly * nly * inv_fm)
-        me_r = 1.0 / (inv_m + cr[3] + nry * nry * inv_fm)
+        me_f = 1.0 / (inv_m + cf[3] + nfy * nfy * inv_fm)
         me_p = 1.0 / (inv_m + cp[3])
 
         # targets from pre-update velocities
         vpx = vx + oy * rz - oz * ry
         vpy = vy + oz * rx - ox * rz
         vpz = vz + ox * ry - oy * rx
-        vn_l0 = vpx * nlx + (vpy - qdl) * nly + vpz * nlz
-        vn_r0 = vpx * nrx + (vpy - qdr) * nry + vpz * nrz
+        qd_c0 = jnp.where(is_l, qdl, qdr)
+        vn_f0 = vpx * nfx + (vpy - qd_c0) * nfy + vpz * nfz
         vn_p0 = vpz
         kc, bc = jnp.float32(K_CONTACT), jnp.float32(B_CONTACT)
         kp_, bp_ = jnp.float32(K_PLANE3), jnp.float32(B_PLANE3)
-        tgt_l = (1.0 - d_imp * bc * dt) * vn_l0 + d_imp * dt * kc * depth_l
-        tgt_r = (1.0 - d_imp * bc * dt) * vn_r0 + d_imp * dt * kc * depth_r
+        tgt_f = (1.0 - d_imp * bc * dt) * vn_f0 + d_imp * dt * kc * depth_f
         tgt_p = (1.0 - d_imp * bp_ * dt) * vn_p0 + d_imp * dt * kp_ * depth_p
 
         # unconstrained update
@@ -252,29 +253,26 @@ def _rollout3d_kernel(
         qdl = qdl + dt * f_l * inv_fm
         qdr = qdr + dt * f_r * inv_fm
 
-        lam = [jnp.zeros_like(depth_l) for _ in range(3)]
-        lamt = [
-            (jnp.zeros_like(depth_l),) * 3 for _ in range(3)
-        ]
-        lamt = [list(x) for x in lamt]
+        lam = [jnp.zeros_like(depth_f) for _ in range(2)]
+        lamt = [[jnp.zeros_like(depth_f) for _ in range(3)] for _ in range(2)]
 
         sets = (
-            (nlx, nly, nlz, w_l, me_l, tgt_l, cl, 0),
-            (nrx, nry, nrz, w_r, me_r, tgt_r, cr, 1),
-            (zero, zero + 0.0, zero + 1.0, w_p, me_p, tgt_p, cp, 2),
+            (nfx, nfy, nfz, w_f, me_f, tgt_f, 0),
+            (zero, zero + 0.0, zero + 1.0, w_p, me_p, tgt_p, 1),
         )
 
         def solve(j, carry):
             (vx, vy, vz, ox, oy, oz, qdl, qdr,
-             l0, l1, l2,
-             t0x, t0y, t0z, t1x, t1y, t1z, t2x, t2y, t2z) = carry
-            lam_n = [l0, l1, l2]
-            lam_t = [[t0x, t0y, t0z], [t1x, t1y, t1z], [t2x, t2y, t2z]]
-            for idx, (nx, ny, nz, w_c, me, tgt, cf, which) in enumerate(sets):
-                qd_f = qdl if which == 0 else (qdr if which == 1 else zero)
+             l0, l1,
+             t0x, t0y, t0z, t1x, t1y, t1z) = carry
+            lam_n = [l0, l1]
+            lam_t = [[t0x, t0y, t0z], [t1x, t1y, t1z]]
+            for idx, (nx, ny, nz, w_c, me, tgt, which) in enumerate(sets):
                 vpx = vx + oy * rz - oz * ry
-                vpy = vy + oz * rx - ox * rz - (qd_f if which < 2 else 0.0)
+                vpy = vy + oz * rx - ox * rz
                 vpz = vz + ox * ry - oy * rx
+                if which == 0:
+                    vpy = vpy - jnp.where(is_l, qdl, qdr)
                 vn = vpx * nx + vpy * ny + vpz * nz
                 d_n = w_c * me * (tgt - vn)
                 new_n = jnp.maximum(lam_n[idx] + d_n, 0.0)
@@ -307,20 +305,19 @@ def _rollout3d_kernel(
                 dox, doy, doz = wmul(tqx, tqy, tqz)
                 ox, oy, oz = ox + dox, oy + doy, oz + doz
                 if which == 0:
-                    qdl = qdl - jnp.sum(iy, 0, keepdims=True) * inv_fm
-                elif which == 1:
-                    qdr = qdr - jnp.sum(iy, 0, keepdims=True) * inv_fm
+                    qdl = qdl - jnp.sum(is_lf * iy, 0, keepdims=True) * inv_fm
+                    qdr = qdr - jnp.sum(
+                        (1.0 - is_lf) * iy, 0, keepdims=True
+                    ) * inv_fm
             return (vx, vy, vz, ox, oy, oz, qdl, qdr,
-                    lam_n[0], lam_n[1], lam_n[2],
+                    lam_n[0], lam_n[1],
                     lam_t[0][0], lam_t[0][1], lam_t[0][2],
-                    lam_t[1][0], lam_t[1][1], lam_t[1][2],
-                    lam_t[2][0], lam_t[2][1], lam_t[2][2])
+                    lam_t[1][0], lam_t[1][1], lam_t[1][2])
 
         carry = (vx, vy, vz, ox, oy, oz, qdl, qdr,
-                 lam[0], lam[1], lam[2],
+                 lam[0], lam[1],
                  lamt[0][0], lamt[0][1], lamt[0][2],
-                 lamt[1][0], lamt[1][1], lamt[1][2],
-                 lamt[2][0], lamt[2][1], lamt[2][2])
+                 lamt[1][0], lamt[1][1], lamt[1][2])
         carry = jax.lax.fori_loop(0, solver_iters, solve, carry)
         (vx, vy, vz, ox, oy, oz, qdl, qdr, *_r) = carry
 
