@@ -14,6 +14,11 @@ import json
 import os
 import time
 
+# persistent XLA/Mosaic compilation cache: repeat bench runs skip the kernel
+# compile (must be set before jax import)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_dgdm")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import numpy as np
 
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
