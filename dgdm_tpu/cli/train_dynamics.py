@@ -30,9 +30,12 @@ def main(argv=None):
     val_data = DynamicsData(args.test_data_dir, args.object_max_num_vertices)
     assert len(train_data) > 0, f"no npz shards under {args.data_dir}"
 
+    import jax.numpy as jnp
+
     model = ProfileForward2D(
         params_ch=args.ctrlpts_dim,
         object_ch=2 * args.object_max_num_vertices,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     steps_per_epoch = max(1, len(train_data) // max(args.batch_size, 1))
     trainer = DynamicsTrainer(

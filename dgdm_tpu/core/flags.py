@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gripper x object pairs per device batch (datagen)")
     p.add_argument("--use_pallas", action="store_true", default=True)
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
+    p.add_argument("--bf16", action="store_true", default=True,
+                   help="bfloat16 compute for NN training (10x on TPU; "
+                        "params stay f32)")
+    p.add_argument("--no_bf16", dest="bf16", action="store_false")
     return p
 
 

@@ -14,6 +14,8 @@ pose-grid row.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -23,12 +25,13 @@ from dgdm_tpu.models.embeddings import nerf_embed, timestep_embedding
 class MLP2(nn.Module):
     width: int
     act: str = "relu"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.width)(x)
+        x = nn.Dense(self.width, dtype=self.dtype)(x)
         x = nn.relu(x) if self.act == "relu" else nn.silu(x)
-        return nn.Dense(self.width)(x)
+        return nn.Dense(self.width, dtype=self.dtype)(x)
 
 
 class ProfileForward2D(nn.Module):
@@ -45,20 +48,25 @@ class ProfileForward2D(nn.Module):
     output_ch: int = 3
     multires: int = 4
     num_trunk: int = 8
+    # compute dtype: params stay f32; bfloat16 roughly doubles training
+    # throughput on TPU with negligible quality impact for this MLP
+    dtype: Any = jnp.float32
 
     def setup(self):
         w = self.width
-        self.gripper_encoder = MLP2(w, "relu")
-        self.object_encoder = MLP2(w, "relu")
-        self.time_in = nn.Dense(w)
-        self.time_out = nn.Dense(w)
-        self.trunk_layers = [nn.Dense(w, name=f"trunk_{i}")
-                             for i in range(self.num_trunk)]
-        self.trunk_bns = [
-            nn.BatchNorm(momentum=0.9, name=f"bn_{i}")
+        self.gripper_encoder = MLP2(w, "relu", dtype=self.dtype)
+        self.object_encoder = MLP2(w, "relu", dtype=self.dtype)
+        self.time_in = nn.Dense(w, dtype=self.dtype)
+        self.time_out = nn.Dense(w, dtype=self.dtype)
+        self.trunk_layers = [
+            nn.Dense(w, name=f"trunk_{i}", dtype=self.dtype)
             for i in range(self.num_trunk)
         ]
-        self.head = nn.Dense(self.output_ch)
+        self.trunk_bns = [
+            nn.BatchNorm(momentum=0.9, name=f"bn_{i}", dtype=self.dtype)
+            for i in range(self.num_trunk)
+        ]
+        self.head = nn.Dense(self.output_ch)  # head stays f32
 
     def __call__(self, ctrl, ori, pos, t, obj, train: bool = False):
         feat = self.encode_object(obj, train)
