@@ -1,0 +1,43 @@
+"""3D engine vs the MuJoCo 3D oracle (statistical, loose round-1 bounds).
+
+Round-1 status: orientation-profile correlation ~0.5-0.6; the engine
+over-rotates ~2-3x (under investigation — suspected plane-contact normal
+force distribution during the squeeze). Bounds here are regression guards,
+not parity claims; see docs/PARITY.md.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dgdm_tpu.geom.fingers import sample_gripper_3d
+from dgdm_tpu.geom.mesh3d import box_mesh
+from dgdm_tpu.sim import engine3d
+
+
+@pytest.mark.slow
+def test_engine3d_statistics_vs_mujoco():
+    from dgdm_tpu.sim.oracle3d import Oracle3D
+
+    verts, faces = box_mesh(0.035, 0.045, 0.04, 0.04)
+    yl, yr = sample_gripper_3d(1)
+    oracle = Oracle3D(yl, yr, verts, faces)
+    # masses must match the engine's (reference double-counts visual+collision)
+    scene = engine3d.make_scene(yl, yr, verts, faces, num_points=256)
+    assert abs(oracle.body_mass("object") - float(scene.mass)) < 0.1
+    assert (
+        abs(oracle.body_mass("left_jaw") - float(scene.finger_mass))
+        / float(scene.finger_mass)
+        < 0.15
+    )
+
+    n = 12
+    ths = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    mj = np.array([oracle.rollout(0, 0, th)[0] for th in ths])
+    poses = np.stack([np.zeros(n), np.zeros(n), ths], -1).astype(np.float32)
+    en = np.asarray(engine3d.profile(scene, jnp.asarray(poses))[0])
+
+    corr = np.corrcoef(mj, en)[0, 1]
+    ratio = en.std() / max(mj.std(), 1e-9)
+    assert corr > 0.25, corr
+    assert 0.3 < ratio < 4.0, ratio
