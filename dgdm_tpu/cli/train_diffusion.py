@@ -16,7 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from dgdm_tpu.core.flags import build_parser
+from dgdm_tpu.core.profiling import StepTimer
 from dgdm_tpu.models.unet1d import ConditionalUnet1D
+from dgdm_tpu.parallel import mesh as meshlib
 from dgdm_tpu.train import checkpoints
 from dgdm_tpu.train.data import procedural_grippers
 from dgdm_tpu.train.generator import GeneratorTrainer
@@ -41,26 +43,60 @@ def main(argv=None):
     if args.diffusion_checkpoint_path:
         state = checkpoints.restore(args.diffusion_checkpoint_path, state)
 
+    # multi-device data parallelism (reference: generator/train.py:152 runs
+    # Lightning DDP with devices=-1 by default) — params replicate, batches
+    # shard on dp, XLA inserts the gradient psum over ICI
+    mesh = meshlib.data_parallel_mesh()
+    if mesh is not None:
+        state = meshlib.replicate(mesh, state)
+        print(f"data-parallel over {mesh.shape['dp']} devices")
+
+    def shard(batch):
+        if mesh is None:
+            return batch
+        dp = mesh.shape["dp"]
+        n = batch.shape[0]
+        if n % dp:
+            batch = batch[: n - n % dp]
+        return meshlib.shard_batch(mesh, batch, "dp")
+
     sink = MetricSink(args.save_dir, project="gripper_diffusion",
                       run_name=args.wandb_id)
     rng = np.random.RandomState(args.seed)
     key = jax.random.PRNGKey(args.seed + 1)
     step = 0
+    best: list = []  # (val_loss, path) top-k checkpoints
+    timer = StepTimer()
     for epoch in range(args.num_epochs):
         order = rng.permutation(len(train))
         for lo in range(0, len(order) - args.batch_size + 1, args.batch_size):
             batch = jnp.asarray(train[order[lo : lo + args.batch_size]])
             key, k = jax.random.split(key)
-            state, metrics = trainer.train_step(state, batch, k)
+            state, metrics = trainer.train_step(state, shard(batch), k)
             step += 1
+            timer.tick(args.batch_size)
             if step % 50 == 0:
                 sink.log({f"train/{m}": v for m, v in metrics.items()}, step)
+                sink.log({"perf/grippers_per_second": timer.rate()}, step)
         if epoch % args.val_step == 0 and len(val) >= args.batch_size:
             key, k = jax.random.split(key)
             vm = trainer.eval_step(
-                state, jnp.asarray(val[: args.batch_size]), k
+                state, shard(jnp.asarray(val[: args.batch_size])), k
             )
             sink.log({f"val/{m}": float(v) for m, v in vm.items()}, step)
+            # top-k-by-val checkpointing (reference keeps top-10 by epoch,
+            # generator/train.py:138-147; val loss is the better criterion)
+            vloss = float(vm.get("loss", float("inf")))
+            if len(best) < 10 or vloss < best[-1][0]:
+                path = os.path.join(args.save_dir, "ckpt", f"best_e{epoch}")
+                checkpoints.save(path, state)
+                best.append((vloss, path))
+                best.sort(key=lambda t: t[0])
+                for _, stale in best[10:]:
+                    import shutil
+
+                    shutil.rmtree(stale, ignore_errors=True)
+                best = best[:10]
         if (epoch + 1) % 50 == 0:
             checkpoints.save(
                 os.path.join(args.save_dir, "ckpt", f"step_{step}"), state

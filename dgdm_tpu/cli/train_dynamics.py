@@ -17,11 +17,24 @@ import jax
 import numpy as np
 
 from dgdm_tpu.core.flags import build_parser
+from dgdm_tpu.core.profiling import StepTimer
 from dgdm_tpu.models.profile2d import ProfileForward2D
+from dgdm_tpu.parallel import mesh as meshlib
 from dgdm_tpu.train import checkpoints
 from dgdm_tpu.train.data import DynamicsData
 from dgdm_tpu.train.dynamics import DynamicsTrainer
 from dgdm_tpu.train.logging import MetricSink
+
+
+def _shard(mesh, batch):
+    """Trim the row dim to a dp multiple and shard (replicated if no mesh)."""
+    if mesh is None:
+        return batch
+    dp = mesh.shape["dp"]
+    n = next(iter(jax.tree.leaves(batch))).shape[0]
+    if n % dp:
+        batch = jax.tree.map(lambda x: x[: n - n % dp], batch)
+    return meshlib.shard_batch(mesh, batch, "dp")
 
 
 def main(argv=None):
@@ -51,6 +64,14 @@ def main(argv=None):
     if args.checkpoint_path:
         state = checkpoints.restore(args.checkpoint_path, state)
 
+    # multi-device data parallelism (reference: dynamics/trainer.py:41-43
+    # wraps every run in DataParallel) — params replicate, batches shard on
+    # dp, XLA inserts the gradient psum over ICI
+    mesh = meshlib.data_parallel_mesh()
+    if mesh is not None:
+        state = meshlib.replicate(mesh, state)
+        print(f"data-parallel over {mesh.shape['dp']} devices")
+
     sink = MetricSink(args.save_dir, project="dynamics_model",
                       run_name=args.wandb_id)
     key = jax.random.PRNGKey(args.seed + 1)
@@ -60,7 +81,7 @@ def main(argv=None):
         ms = []
         for batch in val_data.batches(args.batch_size, rng, shuffle=False):
             key, k = jax.random.split(key)
-            ms.append(trainer.eval_step(state, batch, k))
+            ms.append(trainer.eval_step(state, _shard(mesh, batch), k))
         return {
             f"val/{m}": float(np.mean([float(x[m]) for x in ms]))
             for m in ms[0]
@@ -73,13 +94,17 @@ def main(argv=None):
     best_val = float("inf")
     last_best = 0
     step = 0
+    timer = StepTimer()
     for epoch in range(args.num_epochs):
         for batch in train_data.batches(args.batch_size, rng):
             key, k = jax.random.split(key)
-            state, metrics = trainer.train_step(state, batch, k)
+            rows = next(iter(jax.tree.leaves(batch))).shape[0]
+            state, metrics = trainer.train_step(state, _shard(mesh, batch), k)
             step += 1
+            timer.tick(rows)
             if step % 20 == 0:
                 sink.log({f"train/{m}": v for m, v in metrics.items()}, step)
+                sink.log({"perf/rows_per_second": timer.rate()}, step)
             if step % args.save_ckpt_step == 0:
                 checkpoints.save(
                     os.path.join(args.save_dir, "ckpt", f"step_{step}"), state

@@ -19,6 +19,7 @@ class StepTimer:
         self.alpha = alpha
         self.ewma: Optional[float] = None
         self._t0: Optional[float] = None
+        self._rate: Optional[float] = None
 
     def __enter__(self):
         self._t0 = time.perf_counter()
@@ -38,6 +39,25 @@ class StepTimer:
             "perf/step_seconds": self.ewma,
             "perf/items_per_second": items_per_step / self.ewma,
         }
+
+    def tick(self, items: float = 1.0) -> None:
+        """Mark the end of one step that processed ``items`` (loop style —
+        the first tick only arms the timer)."""
+        now = time.perf_counter()
+        if self._t0 is not None:
+            dt = now - self._t0
+            rate = items / max(dt, 1e-9)
+            self._rate = rate if getattr(self, "_rate", None) is None else (
+                self.alpha * rate + (1 - self.alpha) * self._rate
+            )
+            self.ewma = dt if self.ewma is None else (
+                self.alpha * dt + (1 - self.alpha) * self.ewma
+            )
+        self._t0 = now
+
+    def rate(self) -> float:
+        """EWMA items/second seen by tick()."""
+        return float(getattr(self, "_rate", 0.0) or 0.0)
 
 
 @contextlib.contextmanager

@@ -46,7 +46,7 @@ def profile_pairs_2d(
     n = poses.shape[0]
     if jax.default_backend() != "tpu":
         use_pallas = False  # Mosaic kernels compile on TPU only
-    if use_pallas and calib is None:
+    if use_pallas:
         from dgdm_tpu.sim import pallas2d
 
         pad = (-n) % pallas2d.LANE
@@ -55,7 +55,7 @@ def profile_pairs_2d(
             poses_p = np.concatenate([poses, filler], axis=0)
         else:
             poses_p = poses
-        arrs = pallas2d.scene_arrays(scenes)
+        arrs = pallas2d.scene_arrays(scenes, calib=calib)
         dth, dpos, fth, _ = pallas2d.profile_batch_pallas(
             *arrs, jnp.asarray(poses_p)
         )

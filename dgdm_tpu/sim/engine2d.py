@@ -59,6 +59,12 @@ class Calib:
     mu_torsion: jnp.ndarray    # torsional coefficient (meters)
     k_contact: jnp.ndarray     # normal constraint stiffness (1/s^2)
     b_contact: jnp.ndarray     # normal constraint damping (1/s)
+    unload: jnp.ndarray        # grip-induced plane-unloading gain (see step())
+    rough: jnp.ndarray         # crack-capture tangential stiction gain (1/s)
+
+
+CALIB_FIELDS = ("mu_plane", "mu_finger", "mu_torsion", "k_contact",
+                "b_contact", "unload", "rough")
 
 
 def default_calib() -> Calib:
@@ -69,6 +75,8 @@ def default_calib() -> Calib:
         mu_torsion=f32(SIM.friction_torsion),
         k_contact=f32(K_CONTACT),
         b_contact=f32(B_CONTACT),
+        unload=f32(UNLOAD),
+        rough=f32(ROUGH),
     )
 
 
@@ -78,9 +86,18 @@ K_CONTACT = SIM.contact_k
 B_CONTACT = SIM.contact_b
 K_PLANE = 1.0e5
 B_PLANE = 650.0
-# jaw mass: analytic strip mass x overlap factor measured against the oracle
-# (slab decomposition overfills the strip; V-HACD in the reference does too)
-FINGER_MASS_FACTOR = 2.44
+# grip-induced plane-unloading gain (dimensionless; 0 disables). Fitted by
+# scripts/calibrate_engine.py against the MuJoCo oracle suite.
+UNLOAD = 0.0
+# saturation depth for the elastic wedge term (stability clamp)
+DEPTH_EL_CAP = 0.003
+# crack-capture gain: the oracle's (and the reference's V-HACD) decomposition
+# is not a smooth wall — penetrating tips wedge between adjacent convex
+# pieces, which MuJoCo resolves as large opposing internal normal forces whose
+# friction cones lock the tip tangentially. The engine's smooth heightfield
+# has no cracks, so an equivalent penetration-proportional tangential stiction
+# capacity stands in for it (fitted; 0 disables).
+ROUGH = 0.0
 
 
 def make_scene(
@@ -91,25 +108,35 @@ def make_scene(
 ) -> Scene2D:
     """Host-side scene construction from raw control points + object contour.
 
+    Mass/COM/inertia reproduce MuJoCo's model of the oracle scene EXACTLY
+    (verified to machine precision): vertex-only meshes are convex-hulled, so
+    each body is its collision decomposition PLUS the hull of its visual mesh
+    (geom/polygon.py:object_mass_properties_2d / finger_cross_section_area).
+    Per-finger masses matter: they set the kp=10 servo timing that decides
+    where in the grip transient the 200-step profile snapshot lands.
+
     Pure numpy until the final device_put — eager per-op device dispatch is
     expensive on this platform, and scene building runs in host loops."""
-    from dgdm_tpu.geom.spline import cubic_coef_operator
+    from dgdm_tpu.geom.spline import cubic_basis_matrix, cubic_coef_operator
 
     g = GRIPPER_2D
     coef_op = cubic_coef_operator(g.num_ctrl, g.ctrl_x_min, g.ctrl_x_max)
     coef_l = np.einsum("skn,n->sk", coef_op, np.asarray(yl, np.float64))
     coef_r = np.einsum("skn,n->sk", coef_op, np.asarray(yr, np.float64))
     poly = contour_lib.ensure_ccw(np.asarray(contour, dtype=np.float64))
-    area, com, i0 = polygon_lib.polygon_area_centroid_inertia(poly)
+    area, com, i0 = polygon_lib.object_mass_properties_2d(poly)
     spts, sw = polygon_lib.support_points(poly, grid=support_grid)
-    mass = SIM.mass_factor * SIM.density * area * OBJECT_2D.height
-    inertia = SIM.mass_factor * SIM.density * OBJECT_2D.height * i0
-    fmass = (
-        FINGER_MASS_FACTOR
-        * SIM.density
-        * (GRIPPER_2D.ctrl_x_max - GRIPPER_2D.ctrl_x_min)
-        * GRIPPER_2D.width
-        * GRIPPER_2D.height
+    mass = SIM.density * area * OBJECT_2D.height
+    inertia = SIM.density * OBJECT_2D.height * i0
+    x_curve = np.linspace(g.ctrl_x_min, g.ctrl_x_max, g.num_curve_points)
+    basis = cubic_basis_matrix(g.num_ctrl, g.ctrl_x_min, g.ctrl_x_max, x_curve)
+    fmass = np.array(
+        [
+            SIM.density * g.height * polygon_lib.finger_cross_section_area(
+                basis @ np.asarray(y, np.float64), x_curve, g.width
+            )
+            for y in (yl, yr)
+        ]
     )
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
     return Scene2D(
@@ -230,30 +257,89 @@ def step(scene: Scene2D, state: State2D, ctrl: jnp.ndarray, dt: float = SIM.dt,
     t = jnp.stack([-n[..., 1], n[..., 0]], axis=-1)           # (2, P, 2)
     rxn = r[None, :, 0] * n[..., 1] - r[None, :, 1] * n[..., 0]
     rxt = r[None, :, 0] * t[..., 1] - r[None, :, 1] * t[..., 0]
-    m_eff_n = 1.0 / (inv_m + rxn * rxn * inv_i + n[..., 1] ** 2 * inv_fm)
-    m_eff_t = 1.0 / (inv_m + rxt * rxt * inv_i + t[..., 1] ** 2 * inv_fm)
+    inv_fm_c = inv_fm[:, None]                                # (2, 1) per row
+    m_eff_n = 1.0 / (inv_m + rxn * rxn * inv_i + n[..., 1] ** 2 * inv_fm_c)
+    m_eff_t = 1.0 / (inv_m + rxt * rxt * inv_i + t[..., 1] ** 2 * inv_fm_c)
 
     # plane normal force: penalty in z (settles to ~1e-4 m like MuJoCo)
     depth_z = (SIM.plane_z) - state.zb
     n_total = m * jnp.maximum(K_PLANE * depth_z - B_PLANE * state.vz, 0.0)
-    n_i = scene.support_w * n_total                           # (S,)
     rs = (scene.support_pts - scene.com) @ rot.T              # (S, 2)
 
     # soft-constraint velocity targets (from current-state v_n and depth)
     vf0 = state.qd[:, None, None] * jnp.array([0.0, 1.0])
     vn0 = jnp.sum((vel_pts[None] - vf0) * n, axis=-1)
     d_imp = IMPEDANCE
-    target_n = (1.0 - d_imp * calib.b_contact * dt) * vn0 + d_imp * dt * calib.k_contact * depth
+    # implicit stopping target always uses the stable base solref gains; the
+    # fitted calib gains drive the explicit elastic term below instead
+    target_n = (1.0 - d_imp * B_CONTACT * dt) * vn0 + d_imp * dt * K_CONTACT * depth
+
+    # Sustained elastic wedge force. MuJoCo's soft constraint pushes EVERY
+    # contact with force ~ m_eff * d * (k*depth - b*vn) — measured ~50 N total
+    # at ~2 mm grip penetration across ~26 contacts (scripts/diag_forces_2d.py).
+    # The mass-split Jacobi solve above the fixed point only realizes ~one
+    # contact's worth of pushout, so without this term a pinched object
+    # freezes in stiction instead of being torqued to the wedge equilibrium —
+    # the deterministic signal of the interaction profile. Applied as an
+    # explicit per-contact force (no mass splitting), with friction caps
+    # enlarged to match.
+    # Stability clamps: (a) the elastic impulse may push a contact outward at
+    # most to its own Baumgarte pushout velocity (v_cap) — a wedged contact
+    # feels the full sustained force, a free one is accelerated to a bounded
+    # exit velocity; (b) the driving depth saturates at DEPTH_EL_CAP (MuJoCo
+    # grip penetrations stay ~2 mm) so a deeply-penetrated pose cannot pump
+    # unbounded spin energy through repeated kicks.
+    depth_el = act * jnp.clip(depth, 0.0, DEPTH_EL_CAP)
+    v_cap = d_imp * dt * calib.k_contact * depth_el
+    dv_el = jnp.clip(
+        d_imp * dt * (calib.k_contact * depth_el - calib.b_contact * vn0),
+        0.0,
+        jnp.maximum(v_cap - vn0, 0.0),
+    )
+    imp_mag = act * m_eff_n * dv_el                           # (2, P) impulse
+    imp_el = imp_mag[..., None] * n                           # (2, P, 2)
+    # Global energy clamp: per-point impulses SUM over the patch (that is the
+    # multiplicity — MuJoCo's overlapping pairs add), so a free body would be
+    # overshot n_active-fold. Scale the whole wrench so no contact's post-push
+    # separation velocity exceeds its own pushout cap: a wedged grip (induced
+    # dvn ~ 0) feels the full summed force, a free impact is not amplified.
+    dvel_u = jnp.sum(imp_el, axis=(0, 1)) * inv_m             # (2,)
+    dom_u = jnp.sum(imp_mag * rxn) * inv_i                    # ()
+    dqd_u = -jnp.sum(imp_el[..., 1], axis=1) * inv_fm         # (2,)
+    dv_pts = dvel_u + dom_u * jnp.stack([-r[:, 1], r[:, 0]], -1)   # (P, 2)
+    dvn_ind = (
+        jnp.sum(dv_pts[None] * n, axis=-1)
+        - dqd_u[:, None] * n[..., 1]
+    )                                                         # (2, P)
+    headroom = jnp.maximum(v_cap - vn0, 0.0)
+    # double-where keeps the unselected branch's gradient finite (the raw
+    # quotient has ~0 denominators on inactive contacts)
+    take = (act > 0) & (dvn_ind > 1e-9)
+    denom = jnp.where(take, dvn_ind, 1.0)
+    ratio = jnp.where(take, headroom / denom, jnp.inf)
+    s_el = jnp.clip(jnp.min(ratio), 0.0, 1.0)
+    imp_mag = s_el * imp_mag
+    imp_el = s_el * imp_el
+    f_el = imp_mag / dt                                       # (2, P) [N]
+
+    # Mean-field plane unloading: once the object is pinched, MuJoCo's O(100N)
+    # grip forces toss it vertically (mesh-contact normals are not exactly
+    # horizontal) and it separates from the plane — measured plane force drops
+    # to ~0 at grip onset (scripts/diag_forces_2d.py). The friction caps (not
+    # the z support) are scaled down by the estimated grip load so the
+    # squeeze-phase rotation is not overdamped by resting-weight friction.
+    grip_ratio = jnp.sum(f_el) / (m * SIM.gravity)
+    n_i = scene.support_w * n_total / (1.0 + calib.unload * grip_ratio)  # (S,)
 
     # ---- unconstrained velocity update ------------------------------------
     ctrl_c = jnp.clip(
         ctrl, jnp.array([0.0, -g.ctrl_clamped]), jnp.array([g.ctrl_clamped, 0.0])
     )
     f_fing = g.kp * (ctrl_c - state.q) - g.joint_damping * state.qd
-    vel = state.vel
-    om = state.om
+    vel = state.vel + jnp.sum(imp_el, axis=(0, 1)) * inv_m
+    om = state.om + jnp.sum(dt * f_el * rxn) * inv_i
     vz = state.vz + dt * (-SIM.gravity + n_total * inv_m)
-    qd = state.qd + dt * f_fing * inv_fm
+    qd = state.qd + dt * (f_fing * inv_fm) - jnp.sum(imp_el[..., 1], axis=1) * inv_fm
 
     # ---- implicit contact solve (Jacobi + projected accumulators) ---------
     lam_n = jnp.zeros_like(depth)                             # (2, P)
@@ -272,8 +358,10 @@ def step(scene: Scene2D, state: State2D, ctrl: jnp.ndarray, dt: float = SIM.dt,
         d_lam_n = w_c * m_eff_n * (target_n - vn)
         new_lam_n = jnp.maximum(lam_n + d_lam_n, 0.0)
         d_n = new_lam_n - lam_n
-        # friction: clamp accumulated to the cone
-        cap = calib.mu_finger * new_lam_n
+        # friction: clamp accumulated to the cone (normal load includes the
+        # explicit elastic wedge impulse + crack-capture capacity)
+        cap = calib.mu_finger * (new_lam_n + dt * f_el) \
+            + calib.rough * m_eff_t * depth_el
         d_lam_t = -w_c * m_eff_t * vt
         new_lam_t = jnp.clip(lam_t + d_lam_t, -cap, cap)
         d_t = new_lam_t - lam_t

@@ -71,6 +71,14 @@ def _object_prisms(contour: np.ndarray, height: float) -> Tuple[np.ndarray, list
     prisms = []
     for t in tris:
         p = poly[list(t)]
+        # drop degenerate slivers: MuJoCo rejects near-zero-volume meshes
+        # (mass impact < 1e-6 relative)
+        area = 0.5 * abs(
+            (p[1, 0] - p[0, 0]) * (p[2, 1] - p[0, 1])
+            - (p[2, 0] - p[0, 0]) * (p[1, 1] - p[0, 1])
+        )
+        if area < 1e-7:
+            continue
         v = np.concatenate(
             [
                 np.concatenate([p, np.zeros((3, 1))], -1),

@@ -28,6 +28,7 @@ from dgdm_tpu.core.config import GRIPPER_2D, SIM
 from dgdm_tpu.sim.engine2d import (
     B_CONTACT,
     B_PLANE,
+    DEPTH_EL_CAP,
     IMPEDANCE,
     K_CONTACT,
     K_PLANE,
@@ -60,7 +61,9 @@ def _rollout_kernel(
     coef_ref,        # (1, 2, 6, 4)
     contour_ref,     # (1, P, 2)
     support_ref,     # (1, S, 4): x, y, weight, pad
-    scal_ref,        # (1, 1, 8): mass, inertia, fmass, com_x, com_y, pad...
+    scal_ref,        # (1, 1, 16): mass, inertia, fmass_l, com_x, com_y,
+                     # fmass_r, mu_plane, mu_finger, mu_torsion, k_contact,
+                     # b_contact, unload, pad... (see scene_arrays)
     poses_ref,       # (3, LANE)
     # outputs
     dth_ref,         # (1, 1, LANE)  delta at snapshot_step (the profile)
@@ -83,10 +86,19 @@ def _rollout_kernel(
 
     mass = scal_ref[0, 0, 0]
     inertia = scal_ref[0, 0, 1]
-    fmass = scal_ref[0, 0, 2]
+    fmass_l = scal_ref[0, 0, 2]
     com_bx = scal_ref[0, 0, 3]
     com_by = scal_ref[0, 0, 4]
-    inv_m, inv_i, inv_fm = 1.0 / mass, 1.0 / inertia, 1.0 / fmass
+    fmass_r = scal_ref[0, 0, 5]
+    mu_plane = scal_ref[0, 0, 6]
+    mu_finger = scal_ref[0, 0, 7]
+    mu_torsion = scal_ref[0, 0, 8]
+    k_con = scal_ref[0, 0, 9]
+    b_con = scal_ref[0, 0, 10]
+    unload = scal_ref[0, 0, 11]
+    rough = scal_ref[0, 0, 12]
+    inv_m, inv_i = 1.0 / mass, 1.0 / inertia
+    inv_fml, inv_fmr = 1.0 / fmass_l, 1.0 / fmass_r
 
     # body-frame contour relative to COM: (P, 1) -> broadcast against lanes
     cbx = contour_ref[0, :, 0:1] - com_bx          # (P, 1)
@@ -176,13 +188,13 @@ def _rollout_kernel(
         rxn = rx * ny - ry * nx
         tx_, ty_ = -ny, nx
         rxt = rx * ty_ - ry * tx_
-        me_n = 1.0 / (inv_m + rxn * rxn * inv_i + ny * ny * inv_fm)
-        me_t = 1.0 / (inv_m + rxt * rxt * inv_i + ty_ * ty_ * inv_fm)
+        inv_fm_pt = jnp.where(is_l, inv_fml, inv_fmr)
+        me_n = 1.0 / (inv_m + rxn * rxn * inv_i + ny * ny * inv_fm_pt)
+        me_t = 1.0 / (inv_m + rxt * rxt * inv_i + ty_ * ty_ * inv_fm_pt)
 
         # plane normal (z penalty)
         depth_z = SIM.plane_z - zb
         n_total = mass * jnp.maximum(K_PLANE * depth_z - B_PLANE * vz, 0.0)
-        n_i = sw * n_total                         # (S, L)
         rsx = sbx * c - sby * s
         rsy = sbx * s + sby * c
 
@@ -191,14 +203,52 @@ def _rollout_kernel(
         vpl_x = vx - om * ry
         vpl_y = vy + om * rx
         vn0 = vpl_x * nx + (vpl_y - qd_c0) * ny
+        # implicit stopping target uses the stable base solref gains;
+        # calib gains drive the explicit elastic wedge term (engine2d.step)
         tgt = (1.0 - d_imp * B_CONTACT * dt) * vn0 + d_imp * dt * K_CONTACT * depth
 
-        # unconstrained update
+        # explicit elastic wedge impulse, clamped to the pushout velocity
+        depth_el = act * jnp.clip(depth, 0.0, DEPTH_EL_CAP)
+        v_capn = d_imp * dt * k_con * depth_el
+        dv_el = jnp.clip(
+            d_imp * dt * (k_con * depth_el - b_con * vn0),
+            0.0,
+            jnp.maximum(v_capn - vn0, 0.0),
+        )
+        imp_el = act * me_n * dv_el                  # (P, L) impulse magnitude
+        # global energy clamp on the summed elastic wrench (engine2d.step)
+        dvx_u = jnp.sum(imp_el * nx, 0, keepdims=True) * inv_m
+        dvy_u = jnp.sum(imp_el * ny, 0, keepdims=True) * inv_m
+        dom_u = jnp.sum(imp_el * rxn, 0, keepdims=True) * inv_i
+        dqdl_u = -jnp.sum(is_lf * imp_el * ny, 0, keepdims=True) * inv_fml
+        dqdr_u = -jnp.sum((1.0 - is_lf) * imp_el * ny, 0, keepdims=True) * inv_fmr
+        dqd_pt = jnp.where(is_l, dqdl_u, dqdr_u)
+        dvn_ind = (dvx_u - dom_u * ry) * nx + (dvy_u + dom_u * rx - dqd_pt) * ny
+        headroom = jnp.maximum(v_capn - vn0, 0.0)
+        ratio_el = jnp.where(
+            (act > 0) & (dvn_ind > 1e-9), headroom / (dvn_ind + 1e-9),
+            jnp.float32(jnp.inf),
+        )
+        s_el = jnp.clip(jnp.min(ratio_el, 0, keepdims=True), 0.0, 1.0)
+        imp_el = s_el * imp_el
+
+        # mean-field plane unloading from the grip load (engine2d.step)
+        grip_ratio = jnp.sum(imp_el, 0, keepdims=True) / (
+            dt * mass * SIM.gravity
+        )
+        n_i = sw * n_total / (1.0 + unload * grip_ratio)   # (S, L)
+
+        # unconstrained update (elastic wedge impulses included)
         f_l = g.kp * (ctrl_l - ql) - g.joint_damping * qdl
         f_r = g.kp * (ctrl_r - qr) - g.joint_damping * qdr
+        vx = vx + jnp.sum(imp_el * nx, 0, keepdims=True) * inv_m
+        vy = vy + jnp.sum(imp_el * ny, 0, keepdims=True) * inv_m
+        om = om + jnp.sum(imp_el * rxn, 0, keepdims=True) * inv_i
         vz = vz + dt * (-SIM.gravity + n_total * inv_m)
-        qdl = qdl + dt * f_l * inv_fm
-        qdr = qdr + dt * f_r * inv_fm
+        qdl = (qdl + dt * f_l * inv_fml
+               - jnp.sum(is_lf * imp_el * ny, 0, keepdims=True) * inv_fml)
+        qdr = (qdr + dt * f_r * inv_fmr
+               - jnp.sum((1.0 - is_lf) * imp_el * ny, 0, keepdims=True) * inv_fmr)
 
         lam_n = jnp.zeros_like(depth)
         lam_t = jnp.zeros_like(depth)
@@ -219,7 +269,7 @@ def _rollout_kernel(
             new_n = jnp.maximum(lam_n + d_n0, 0.0)
             d_n = new_n - lam_n
 
-            cap = SIM.friction_slide * new_n
+            cap = mu_finger * (new_n + imp_el) + rough * me_t * depth_el
             new_t = jnp.clip(lam_t - w_c * me_t * vt, -cap, cap)
             d_t = new_t - lam_t
 
@@ -228,15 +278,15 @@ def _rollout_kernel(
             vx = vx + jnp.sum(imp_x, 0, keepdims=True) * inv_m
             vy = vy + jnp.sum(imp_y, 0, keepdims=True) * inv_m
             om = om + jnp.sum(d_n * rxn + d_t * rxt, 0, keepdims=True) * inv_i
-            qdl = qdl - jnp.sum(is_lf * imp_y, 0, keepdims=True) * inv_fm
-            qdr = qdr - jnp.sum((1.0 - is_lf) * imp_y, 0, keepdims=True) * inv_fm
+            qdl = qdl - jnp.sum(is_lf * imp_y, 0, keepdims=True) * inv_fml
+            qdr = qdr - jnp.sum((1.0 - is_lf) * imp_y, 0, keepdims=True) * inv_fmr
 
             # plane friction
             vsx = vx - om * rsy
             vsy = vy + om * rsx
             nsx = lam_sx - sw * mass * vsx
             nsy = lam_sy - sw * mass * vsy
-            cap_s = SIM.friction_slide * n_i * dt
+            cap_s = mu_plane * n_i * dt
             nrm = jnp.sqrt(nsx * nsx + nsy * nsy + 1e-20)
             sc = jnp.minimum(1.0, cap_s / nrm)
             nsx = nsx * sc
@@ -246,7 +296,7 @@ def _rollout_kernel(
             vx = vx + jnp.sum(d_sx, 0, keepdims=True) * inv_m
             vy = vy + jnp.sum(d_sy, 0, keepdims=True) * inv_m
             om = om + jnp.sum(rsx * d_sy - rsy * d_sx, 0, keepdims=True) * inv_i
-            cap_w = SIM.friction_torsion * n_i * dt
+            cap_w = mu_torsion * n_i * dt
             new_w = jnp.clip(lam_w - sw * inertia * om, -cap_w, cap_w)
             d_w = new_w - lam_w
             om = om + jnp.sum(d_w, 0, keepdims=True) * inv_i
@@ -309,7 +359,7 @@ def profile_batch_pallas(
     coefs: jnp.ndarray,       # (B, 2, 6, 4)
     contour: jnp.ndarray,     # (B, P, 2)
     support: jnp.ndarray,     # (B, S, 4): x, y, weight, pad
-    scalars: jnp.ndarray,     # (B, 1, 8): mass, inertia, fmass, com_x, com_y
+    scalars: jnp.ndarray,     # (B, 1, 16): see scene_arrays
     poses: jnp.ndarray,       # (N, 3) — N must be a multiple of LANE
     steps: int = SIM.steps_2d,
     dt: float = SIM.dt,
@@ -358,7 +408,7 @@ def profile_batch_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, 4), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, 16), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, LANE), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -380,9 +430,15 @@ def profile_batch_pallas(
     return dth, dpos, fth, fpos
 
 
-def scene_arrays(scenes) -> Tuple[jnp.ndarray, ...]:
+def scene_arrays(scenes, calib=None) -> Tuple[jnp.ndarray, ...]:
     """Stacked Scene2D pytree (leading dim B) -> the dense array inputs of
-    ``profile_batch_pallas``."""
+    ``profile_batch_pallas``. ``calib`` (engine2d.Calib, unbatched) rides in
+    the scalar slots so fitted contact parameters apply to the fused kernel
+    without recompilation."""
+    from dgdm_tpu.sim import engine2d as _e2
+
+    if calib is None:
+        calib = _e2.default_calib()
     # numpy on host (cheap, avoids eager device dispatch), one device_put each
     coefs = np.stack(
         [np.asarray(scenes.coef_l), np.asarray(scenes.coef_r)], axis=1
@@ -397,12 +453,20 @@ def scene_arrays(scenes) -> Tuple[jnp.ndarray, ...]:
         ],
         axis=-1,
     )
-    scal = np.zeros((b, 1, 8), np.float32)
+    scal = np.zeros((b, 1, 16), np.float32)
     scal[:, 0, 0] = np.asarray(scenes.mass)
     scal[:, 0, 1] = np.asarray(scenes.inertia)
-    scal[:, 0, 2] = np.asarray(scenes.finger_mass)
+    scal[:, 0, 2] = np.asarray(scenes.finger_mass)[..., 0]
     scal[:, 0, 3] = np.asarray(scenes.com)[:, 0]
     scal[:, 0, 4] = np.asarray(scenes.com)[:, 1]
+    scal[:, 0, 5] = np.asarray(scenes.finger_mass)[..., 1]
+    scal[:, 0, 6] = float(calib.mu_plane)
+    scal[:, 0, 7] = float(calib.mu_finger)
+    scal[:, 0, 8] = float(calib.mu_torsion)
+    scal[:, 0, 9] = float(calib.k_contact)
+    scal[:, 0, 10] = float(calib.b_contact)
+    scal[:, 0, 11] = float(calib.unload)
+    scal[:, 0, 12] = float(calib.rough)
     return (
         jnp.asarray(coefs),
         scenes.contour,

@@ -24,7 +24,8 @@ class Scene2D:
     inertia: jnp.ndarray       # () polar inertia about the COM
     support_pts: jnp.ndarray   # (S, 2) plane-contact support points, body frame
     support_w: jnp.ndarray     # (S,) weights, sum to 1 over the interior
-    finger_mass: jnp.ndarray   # () jaw mass
+    finger_mass: jnp.ndarray   # (2,) per-jaw mass (left, right) — exact
+                               # MuJoCo parity (geom/polygon.py)
 
 
 @flax.struct.dataclass

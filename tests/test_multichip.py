@@ -1,0 +1,132 @@
+"""Multi-device sharding of the production paths (8 virtual CPU devices).
+
+The reference makes every training run multi-device by default
+(``dynamics/trainer.py:41-43`` DataParallel; ``generator/train.py:152``
+Lightning DDP devices=-1) and fans datagen out over Ray workers. Here the
+same batch runs replicated-params / dp-sharded-batch through jax.sharding
+and must produce the SAME numbers as the single-device run (DP is exact:
+the grad psum is a sum either way).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgdm_tpu.parallel import mesh as meshlib
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs the 8-device CPU mesh"
+)
+
+
+def _dyn_batch(rng, n=64, nv=20):
+    return {
+        "ctrl": jnp.asarray(rng.uniform(-1, 1, (n, 14)), jnp.float32),
+        "ori": jnp.asarray(rng.uniform(-1, 1, (n, 1)), jnp.float32),
+        "pos": jnp.asarray(rng.uniform(-1, 1, (n, 2)), jnp.float32),
+        "obj": jnp.asarray(rng.uniform(-1, 1, (n, 2 * nv)), jnp.float32),
+        "score": jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+    }
+
+
+def test_dynamics_training_dp_parity():
+    from dgdm_tpu.models.profile2d import ProfileForward2D
+    from dgdm_tpu.train.dynamics import DynamicsTrainer
+
+    model = ProfileForward2D(params_ch=14, object_ch=40, width=32, num_trunk=2)
+    trainer = DynamicsTrainer(model, total_steps=10)
+    rng = np.random.RandomState(0)
+    batch = _dyn_batch(rng)
+    state = trainer.init(jax.random.PRNGKey(0), batch)
+    key = jax.random.PRNGKey(1)
+
+    # single device
+    s1 = state
+    for i in range(3):
+        s1, m1 = trainer.train_step(s1, batch, jax.random.fold_in(key, i))
+
+    # 8-device dp
+    mesh = meshlib.data_parallel_mesh()
+    assert mesh is not None and mesh.shape["dp"] == 8
+    s8 = meshlib.replicate(mesh, state)
+    sharded = meshlib.shard_batch(mesh, batch, "dp")
+    for i in range(3):
+        s8, m8 = trainer.train_step(s8, sharded, jax.random.fold_in(key, i))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-4)
+    # Adam normalizes near-zero f32 grads to +-lr, so reduction-order noise
+    # shows up at the lr (1e-4) scale; anything beyond that means the psum
+    # or replication is wrong.
+    l1 = jax.tree.leaves(s1.params)
+    l8 = jax.tree.leaves(s8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_diffusion_training_dp_parity():
+    from dgdm_tpu.models.unet1d import ConditionalUnet1D
+    from dgdm_tpu.train.generator import GeneratorTrainer
+
+    model = ConditionalUnet1D(input_dim=1, down_dims=(8, 16))
+    trainer = GeneratorTrainer(model, total_steps=10)
+    batch = jnp.asarray(
+        np.random.RandomState(0).uniform(-1, 1, (32, 14, 1)), jnp.float32
+    )
+    state = trainer.init(jax.random.PRNGKey(0), batch)
+    key = jax.random.PRNGKey(1)
+
+    s1, m1 = trainer.train_step(state, batch, key)
+    mesh = meshlib.data_parallel_mesh()
+    s8 = meshlib.replicate(mesh, state)
+    s8, m8 = trainer.train_step(s8, meshlib.shard_batch(mesh, batch, "dp"), key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(s1.ema_params), jax.tree.leaves(s8.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_datagen_pairs_shard_over_mesh():
+    """Datagen pair axis sharded over all 8 devices reproduces the
+    single-device profiles exactly (the reference's Ray fan-out analog)."""
+    from dgdm_tpu.geom.fingers import sample_gripper_2d
+    from dgdm_tpu.sim import engine2d
+    from dgdm_tpu.sim.datagen import stack_scenes
+
+    ang = np.linspace(0, 2 * np.pi, 100, endpoint=False)
+    rad = 0.035 * (1 + 0.2 * np.sin(3 * ang))
+    contour = np.stack([rad * np.cos(ang), rad * np.sin(ang)], -1)
+    scenes = stack_scenes(
+        [engine2d.make_scene(*sample_gripper_2d(i), contour) for i in range(8)]
+    )
+    poses = jnp.asarray(engine2d.pose_grid(grid_size=4, num_pos=1))
+
+    ref = np.asarray(engine2d.profile_batch(scenes, poses, steps=20)[0])
+
+    mesh = meshlib.data_parallel_mesh()
+    sharded_scenes = meshlib.shard_batch(mesh, scenes, "dp")
+    out = np.asarray(engine2d.profile_batch(sharded_scenes, poses, steps=20)[0])
+    np.testing.assert_allclose(ref, out, atol=1e-6)
+
+
+def test_pose_grid_shards_sp():
+    """The guidance/datagen pose-grid axis (the workload's CP analog) shards
+    over the sp axis of a 2D mesh and matches the unsharded result."""
+    from dgdm_tpu.geom.fingers import sample_gripper_2d
+    from dgdm_tpu.sim import engine2d
+
+    ang = np.linspace(0, 2 * np.pi, 100, endpoint=False)
+    rad = 0.035 * (1 + 0.2 * np.sin(3 * ang))
+    contour = np.stack([rad * np.cos(ang), rad * np.sin(ang)], -1)
+    scene = engine2d.make_scene(*sample_gripper_2d(0), contour)
+    poses = jnp.asarray(engine2d.pose_grid(grid_size=16, num_pos=1))
+
+    ref = np.asarray(engine2d.profile(scene, poses, steps=20)[0])
+
+    mesh = meshlib.make_mesh(axes=("dp", "sp"))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    poses_sh = jax.device_put(poses, NamedSharding(mesh, P("sp", None)))
+    scene_r = meshlib.replicate(mesh, scene)
+    out = np.asarray(engine2d.profile(scene_r, poses_sh, steps=20)[0])
+    np.testing.assert_allclose(ref, out, atol=1e-6)
