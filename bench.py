@@ -1,11 +1,20 @@
-"""Headline benchmark: 2D object x gripper squeeze rollouts per second on TPU.
+"""Driver benchmarks on TPU. Prints one JSON line per metric; the HEADLINE
+(2D datagen rollouts/sec) is the LAST line.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metrics (BASELINE.md:31 — "rollouts/sec (2D/3D); guided denoising steps/sec"):
+- 3d_squeeze_rollouts_per_sec  — 800-step 3D squeezes (Pallas kernel)
+- guided_denoise_steps_per_sec — one fused guided DDIM step: UNet eps +
+  B=16 x 9,000-pose classifier gradient + update (the flagship loop)
+- eval_rollouts_per_sec        — 8,000-step re-grasp verification rollouts
+- 2d_squeeze_rollouts_per_sec  — 200-step 2D squeezes (headline)
 
-Baseline: the reference's throughput ceiling — single-core MuJoCo rollout rate
-(measured on this host and cached, using the oracle scene that mirrors
-``sim/sim_2d.py``) times the 64 concurrent Ray workers of ``run_sim_2d.sh``
-(128 CPUs / 2 CPUs-per-task, ``sim/sim_2d.py:113``).
+Each ``vs_baseline`` divides by the strongest reference-equivalent measurable
+on this host: single-core MuJoCo rollout rate (oracle scenes mirroring
+``sim/sim_2d.py`` / ``sim/sim_3d.py``) times the Ray concurrency of the
+reference drivers (64 for 2D/eval = 128 cpus / 2-per-task in run_sim_2d.sh;
+128 for 3D = 256 cpus / 2 in run_sim_3d.sh); for the guided loop, the
+reference cond_fn (torch fwd+bwd over the same pose grid) timed on this host.
+Baselines are measured once and cached in .bench_baseline.json.
 """
 
 from __future__ import annotations
@@ -22,7 +31,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
-REFERENCE_CONCURRENCY = 64  # run_sim_2d.sh: 128 cpus / num_cpus=2 per task
+RAY_CONCURRENCY_2D = 64    # run_sim_2d.sh: 128 cpus / num_cpus=2 per task
+RAY_CONCURRENCY_3D = 128   # run_sim_3d.sh: 256 cpus / 2
 
 
 def _test_contour():
@@ -31,11 +41,13 @@ def _test_contour():
     return np.stack([rad * np.cos(ang), rad * np.sin(ang)], -1)
 
 
-def measure_baseline() -> float:
-    """Single-core MuJoCo rollouts/sec on the reference-equivalent scene."""
+def _baselines() -> dict:
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["mujoco_single_core_rollouts_per_sec"]
+            b = json.load(f)
+        if "mj_3d_rollouts_per_sec" in b:
+            return b
+    b = {}
     try:
         from dgdm_tpu.geom.fingers import sample_gripper_2d
         from dgdm_tpu.sim.oracle import Oracle2D
@@ -47,41 +59,219 @@ def measure_baseline() -> float:
         t0 = time.time()
         for k in range(n):
             oracle.rollout(0.0, 0.0, 2 * np.pi * k / n)
-        rate = n / (time.time() - t0)
+        b["mujoco_single_core_rollouts_per_sec"] = n / (time.time() - t0)
+        # eval rollout = 8,000 steps (dynamics/sim_test_mj.py:142,161)
+        t0 = time.time()
+        oracle.rollout(0.0, 0.0, 1.0, steps=8000)
+        b["mj_eval_rollouts_per_sec"] = 1.0 / (time.time() - t0)
     except Exception:
-        rate = 25.0  # measured fallback (~41 ms/rollout on this host)
+        b.setdefault("mujoco_single_core_rollouts_per_sec", 25.0)
+        b.setdefault("mj_eval_rollouts_per_sec", 0.6)
+    try:
+        from dgdm_tpu.geom.fingers import sample_gripper_3d
+        from dgdm_tpu.geom.mesh3d import box_mesh
+        from dgdm_tpu.sim.oracle3d import Oracle3D
+
+        yl, yr = sample_gripper_3d(0)
+        verts, faces = box_mesh()
+        o3 = Oracle3D(yl, yr, verts, faces)
+        o3.rollout(0.0, 0.0, 0.0, steps=100)  # warm
+        t0 = time.time()
+        o3.rollout(0.0, 0.0, 1.0, steps=800)
+        o3.rollout(0.0, 0.0, 3.0, steps=800)
+        b["mj_3d_rollouts_per_sec"] = 2.0 / (time.time() - t0)
+    except Exception:
+        b["mj_3d_rollouts_per_sec"] = 4.0
+    try:
+        b["torch_guided_steps_per_sec"] = _torch_guided_baseline()
+    except Exception:
+        b["torch_guided_steps_per_sec"] = 0.05
     with open(BASELINE_CACHE, "w") as f:
-        json.dump({"mujoco_single_core_rollouts_per_sec": rate}, f)
-    return rate
+        json.dump(b, f)
+    return b
 
 
-def measure_tpu(num_pairs: int = 32, repeats: int = 2) -> float:
-    import jax
+def _torch_guided_baseline(batch: int = 16, rows: int = 9000) -> float:
+    """Reference cond_fn cost on this host: torch fwd+bwd of the 2D profile
+    MLP over batch x 9,000 tiled pose rows (generator/diffusion.py:473-504),
+    plus nothing else (UNet/DDIM cost is negligible beside it)."""
+    import torch
 
+    torch.set_num_threads(os.cpu_count() or 1)
+    w = 256
+    net = torch.nn.Sequential(
+        torch.nn.Linear(14 + 1 + 2 + 1 + 200, w),
+        *[m for _ in range(8) for m in
+          (torch.nn.Linear(w, w), torch.nn.BatchNorm1d(w), torch.nn.ReLU())],
+        torch.nn.Linear(w, 3),
+    )
+    sub = 2048  # measure a sub-batch, scale linearly (reference sub_bs style)
+    x = torch.randn(sub, 14 + 1 + 2 + 1 + 200, requires_grad=True)
+    out = net(x).sum()
+    out.backward()  # warm
+    t0 = time.time()
+    out = net(x).sum()
+    out.backward()
+    dt = (time.time() - t0) * (batch * rows / sub)
+    return 1.0 / dt
+
+
+def measure_tpu_2d(num_pairs: int = 32, repeats: int = 2) -> float:
     from dgdm_tpu.sim.datagen import throughput_workload
 
     run, total = throughput_workload(num_pairs=num_pairs)
     run()  # compile + warm
     t0 = time.time()
     for _ in range(repeats):
-        out = run()
-    elapsed = time.time() - t0
-    return total * repeats / elapsed
+        run()
+    return total * repeats / (time.time() - t0)
+
+
+def measure_tpu_3d(num_pairs: int = 4, num_poses: int = 1152) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from dgdm_tpu.geom.fingers import sample_gripper_3d
+    from dgdm_tpu.geom.mesh3d import box_mesh
+    from dgdm_tpu.sim import engine3d, pallas3d
+
+    verts, faces = box_mesh()
+    scenes = [
+        engine3d.make_scene(*sample_gripper_3d(i), verts, faces)
+        for i in range(num_pairs)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+    rng = np.random.RandomState(0)
+    poses = np.stack(
+        [
+            rng.uniform(-0.03, 0.03, num_poses),
+            rng.uniform(-0.03, 0.03, num_poses),
+            rng.uniform(0, 2 * np.pi, num_poses),
+        ],
+        -1,
+    ).astype(np.float32)
+    arrs = pallas3d.scene_arrays_3d(stacked)
+
+    def run():
+        o = pallas3d.profile_batch_pallas3d(*arrs, jnp.asarray(poses))
+        jax.block_until_ready(o)
+
+    run()
+    t0 = time.time()
+    run()
+    return num_pairs * num_poses / (time.time() - t0)
+
+
+def measure_guided(batch: int = 16, repeats: int = 3) -> float:
+    """Full guided denoise steps (UNet + 9,000-pose classifier grad + DDIM
+    update) per second, measured over whole 5-step sampling calls."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgdm_tpu.design.guidance import GuidedSampler
+    from dgdm_tpu.models.profile2d import ProfileForward2D
+    from dgdm_tpu.models.unet1d import ConditionalUnet1D
+
+    unet = ConditionalUnet1D(input_dim=1)
+    cls = ProfileForward2D()
+    noise = jax.random.normal(jax.random.PRNGKey(0), (batch, 14, 1))
+    unet_params = unet.init(
+        jax.random.PRNGKey(1), noise, jnp.zeros((batch,), jnp.int32)
+    )["params"]
+    cls_vars = cls.init(
+        jax.random.PRNGKey(2),
+        jnp.zeros((1, 14)), jnp.zeros((1, 1)), jnp.zeros((1, 2)),
+        jnp.zeros((1,)), jnp.zeros((1, 200)), train=False,
+    )
+    sampler = GuidedSampler(unet, cls)
+    obj = jnp.zeros((200,))
+    scale = jnp.asarray(0.001)
+
+    def run():
+        out = sampler.sample(
+            unet_params, cls_vars, noise, obj, "rotate_clockwise", scale
+        )
+        jax.block_until_ready(out)
+
+    run()
+    t0 = time.time()
+    for _ in range(repeats):
+        run()
+    steps = sampler.num_inference_steps * repeats
+    return steps / (time.time() - t0)
+
+
+def measure_eval(batch: int = 16, num_rot: int = 384) -> float:
+    """8,000-step re-grasp verification rollouts/sec (sim_test_mj schedule)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgdm_tpu.core.config import SIM
+    from dgdm_tpu.geom.fingers import sample_gripper_2d
+    from dgdm_tpu.sim import engine2d, pallas2d
+
+    contour = _test_contour()
+    scenes = [
+        engine2d.make_scene(*sample_gripper_2d(i), contour)
+        for i in range(batch)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+    thetas = np.linspace(0, 2 * np.pi, num_rot, endpoint=False).astype(np.float32)
+    poses = np.stack([np.zeros_like(thetas), np.zeros_like(thetas), thetas], -1)
+    arrs = pallas2d.scene_arrays(stacked)
+
+    def run():
+        o = pallas2d.profile_batch_pallas(
+            *arrs, jnp.asarray(poses),
+            steps=SIM.eval_steps_2d, regrasp_every=SIM.eval_regrasp_2d,
+            snapshot_step=SIM.eval_regrasp_2d,
+        )
+        jax.block_until_ready(o)
+
+    run()
+    t0 = time.time()
+    run()
+    return batch * num_rot / (time.time() - t0)
+
+
+def _emit(metric, value, unit, vs):
+    print(json.dumps({
+        "metric": metric, "value": round(value, 2), "unit": unit,
+        "vs_baseline": round(vs, 2),
+    }), flush=True)
 
 
 def main():
-    baseline_rate = measure_baseline() * REFERENCE_CONCURRENCY
-    tpu_rate = measure_tpu()
-    print(
-        json.dumps(
-            {
-                "metric": "2d_squeeze_rollouts_per_sec",
-                "value": round(tpu_rate, 1),
-                "unit": "rollouts/s (200-step object-x-gripper squeezes)",
-                "vs_baseline": round(tpu_rate / baseline_rate, 2),
-            }
-        )
-    )
+    b = _baselines()
+    try:
+        r3 = measure_tpu_3d()
+        _emit("3d_squeeze_rollouts_per_sec", r3,
+              "rollouts/s (800-step 3D squeezes)",
+              r3 / (b["mj_3d_rollouts_per_sec"] * RAY_CONCURRENCY_3D))
+    except Exception as e:
+        print(json.dumps({"metric": "3d_squeeze_rollouts_per_sec",
+                          "error": str(e)[:200]}), flush=True)
+    try:
+        rg = measure_guided()
+        _emit("guided_denoise_steps_per_sec", rg,
+              "fused guided DDIM steps/s (B=16 x 9,000-pose classifier grad)",
+              rg / b["torch_guided_steps_per_sec"])
+    except Exception as e:
+        print(json.dumps({"metric": "guided_denoise_steps_per_sec",
+                          "error": str(e)[:200]}), flush=True)
+    try:
+        re_ = measure_eval()
+        _emit("eval_rollouts_per_sec", re_,
+              "rollouts/s (8,000-step re-grasp verification)",
+              re_ / (b["mj_eval_rollouts_per_sec"] * RAY_CONCURRENCY_2D))
+    except Exception as e:
+        print(json.dumps({"metric": "eval_rollouts_per_sec",
+                          "error": str(e)[:200]}), flush=True)
+    # headline LAST (the driver records the final line)
+    r2 = measure_tpu_2d()
+    _emit("2d_squeeze_rollouts_per_sec", r2,
+          "rollouts/s (200-step object-x-gripper squeezes)",
+          r2 / (b["mujoco_single_core_rollouts_per_sec"] * RAY_CONCURRENCY_2D))
 
 
 if __name__ == "__main__":

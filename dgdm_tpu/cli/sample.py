@@ -124,11 +124,39 @@ def main(argv=None):
             np.stack([c.reshape(-1) / NORM.object_extent_2d for c in contours])
         )
 
+    # --sub_bs = rows per pose-grid chunk (the reference's sub-batching,
+    # generator/diffusion.py:493-499) -> number of lax.map chunks here
+    n_poses = args.grid_size * args.num_pos**2
+    pose_chunks = max(1, -(-n_poses // max(args.sub_bs, 1)))
     sampler = GuidedSampler(
         unet, classifier, grid_size=args.grid_size, num_pos=args.num_pos,
         num_train_timesteps=args.num_train_timesteps,
         num_inference_steps=args.num_inference_steps,
+        pose_chunks=pose_chunks,
     )
+
+    def sim_eval(samples, oi):
+        if args.fingers_3d:
+            from dgdm_tpu.eval.simeval3d import sim_eval_batch_3d
+
+            return sim_eval_batch_3d(
+                np.asarray(samples)[..., 0], [meshes[oi]],
+                num_rot=args.grid_size,
+            )
+        return sim_eval_batch_2d(
+            np.asarray(samples)[..., 0], [contours[oi]],
+            num_rot=args.grid_size,
+        )
+
+    def table_entry(metrics, objective):
+        objs = objectives_table(metrics, objective)
+        best = best_ids_all_metrics(objs, objective)
+        succ = [o.get("success_rate", 0.0) for o in objs]
+        return {
+            "best_ids": best,
+            "best_objectives": {k: objs[v] for k, v in best.items()},
+            "mean_success": float(np.mean(succ)) if succ else 0.0,
+        }
 
     # fixed-seed noise like the reference validation (diffusion.py:182-183)
     rs = np.random.RandomState(args.seed)
@@ -136,6 +164,11 @@ def main(argv=None):
         rs.randn(b, args.ctrlpts_dim, 1).astype(np.float32)
     )
     unguided = gtr.sample(gstate, noise, args.num_inference_steps)
+
+    # unguided baseline: sim-evaluate the unguided samples on every test
+    # object ONCE (reference diffusion.py:302-305) — reused for the
+    # guided-vs-unguided comparison table of every objective (:307-336)
+    unguided_metrics = [sim_eval(unguided, oi) for oi in range(len(ids))]
 
     report = {}
     thr0 = NORM.threshold_std(args.fingers_3d)[0]
@@ -152,23 +185,10 @@ def main(argv=None):
                 gstate.ema_params, cls_vars, noise, obj_flats[oi], objective,
                 scale, centers=centers,
             )
-            if args.fingers_3d:
-                from dgdm_tpu.eval.simeval3d import sim_eval_batch_3d
-
-                metrics = sim_eval_batch_3d(
-                    np.asarray(samples)[..., 0], [meshes[oi]],
-                    num_rot=args.grid_size,
-                )
-            else:
-                metrics = sim_eval_batch_2d(
-                    np.asarray(samples)[..., 0], [contours[oi]],
-                    num_rot=args.grid_size,
-                )
-            objs = objectives_table(metrics, objective)
-            best = best_ids_all_metrics(objs, objective)
+            metrics = sim_eval(samples, oi)
             per_object[str(oid)] = {
-                "best_ids": best,
-                "best_objectives": {k: objs[v] for k, v in best.items()},
+                **table_entry(metrics, objective),
+                "unguided": table_entry(unguided_metrics[oi], objective),
             }
             np.save(
                 os.path.join(args.save_dir, f"samples_{objective}_{oid}.npy"),
@@ -193,7 +213,24 @@ def main(argv=None):
                 viz.visualize_finals(
                     metrics[bi]["final_theta"], stem + "_final.png"
                 )
-        report[objective] = per_object
+        entry = {"objects": per_object}
+        # multi-object guided sampling: gradient averaged over ALL test
+        # objects (reference guided_sample_multi_object, diffusion.py:621-709;
+        # convergence is per-object-centered so it is excluded there too)
+        if objective != "convergence":
+            scale = jnp.asarray(GUIDANCE.scale(args.fingers_3d, objective))
+            msamples = sampler.sample_multi_object(
+                gstate.ema_params, cls_vars, noise, obj_flats, objective, scale
+            )
+            entry["multi_object"] = {
+                str(oid): table_entry(sim_eval(msamples, oi), objective)
+                for oi, oid in enumerate(ids)
+            }
+            np.save(
+                os.path.join(args.save_dir, f"samples_{objective}_multi.npy"),
+                np.asarray(msamples),
+            )
+        report[objective] = entry
         print(f"objective {objective} done", flush=True)
     with open(os.path.join(args.save_dir, "guided_report.json"), "w") as f:
         json.dump(report, f, indent=1, default=str)

@@ -36,6 +36,7 @@ def main(argv=None):
         total_steps=args.num_epochs * steps_per_epoch,
         num_train_timesteps=args.num_train_timesteps,
         ema_power=args.ema_power,
+        warmup_steps=args.lr_warmup_steps,
     )
     state = trainer.init(
         jax.random.PRNGKey(args.seed), jnp.asarray(train[: args.batch_size])
@@ -80,9 +81,11 @@ def main(argv=None):
                 sink.log({"perf/grippers_per_second": timer.rate()}, step)
         if epoch % args.val_step == 0 and len(val) >= args.batch_size:
             key, k = jax.random.split(key)
-            vm = trainer.eval_step(
-                state, shard(jnp.asarray(val[: args.batch_size])), k
-            )
+            vbatch = shard(jnp.asarray(val[: args.batch_size]))
+            vm = trainer.eval_step(state, vbatch, k)
+            vm.update(trainer.recon_metrics(
+                state, vbatch, k, args.num_inference_steps
+            ))
             sink.log({f"val/{m}": float(v) for m, v in vm.items()}, step)
             # top-k-by-val checkpointing (reference keeps top-10 by epoch,
             # generator/train.py:138-147; val loss is the better criterion)

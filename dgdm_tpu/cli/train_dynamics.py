@@ -57,6 +57,7 @@ def main(argv=None):
         weight_decay=args.weight_decay,
         total_steps=args.num_epochs * steps_per_epoch,
         num_train_timesteps=args.num_train_timesteps,
+        warmup_steps=args.lr_warmup_steps,
     )
     rng = np.random.RandomState(args.seed)
     first = next(train_data.batches(args.batch_size, rng))

@@ -94,7 +94,7 @@ def sim_eval_batch_2d(
         np.linspace(ori_range[0], ori_range[1], num_rot) * np.pi + np.pi
     ).astype(np.float32)
 
-    use_pallas = jax.default_backend() == "tpu" and calib is None
+    use_pallas = jax.default_backend() == "tpu"
     results = []
     for contour in contours:
         scenes = [
@@ -111,7 +111,7 @@ def sim_eval_batch_2d(
             poses = np.stack(
                 [np.zeros_like(th_p), np.zeros_like(th_p), th_p], -1
             )
-            arrs = pallas2d.scene_arrays(stacked)
+            arrs = pallas2d.scene_arrays(stacked, calib=calib)
             dth_, dpos_, fth_, fpos_ = pallas2d.profile_batch_pallas(
                 *arrs, jnp.asarray(poses),
                 steps=total_steps, regrasp_every=regrasp_every,

@@ -42,15 +42,22 @@ class DynamicsTrainer:
         total_steps: int = 100_000,
         num_train_timesteps: int = DIFFUSION.num_train_timesteps,
         fingers_3d: bool = False,
+        warmup_steps: int = 0,
     ):
         self.model = model or ProfileForward2D()
         self.sched = ddim.make_schedule(num_train_timesteps)
         self.num_train_timesteps = num_train_timesteps
         self.fingers_3d = fingers_3d
         self.threshold_std = jnp.asarray(NORM.threshold_std(fingers_3d))
-        lr = optax.cosine_decay_schedule(
-            learning_rate, max(total_steps, 1), alpha=0.01
-        )
+        if warmup_steps > 0:
+            lr = optax.warmup_cosine_decay_schedule(
+                0.0, learning_rate, warmup_steps, max(total_steps, 1),
+                end_value=0.01 * learning_rate,
+            )
+        else:
+            lr = optax.cosine_decay_schedule(
+                learning_rate, max(total_steps, 1), alpha=0.01
+            )
         self.tx = optax.chain(
             optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
             optax.scale_by_adam(b1=0.9, b2=0.95),

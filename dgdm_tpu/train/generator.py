@@ -46,12 +46,18 @@ class GeneratorTrainer:
         total_steps: int = 100_000,
         num_train_timesteps: int = DIFFUSION.num_train_timesteps,
         ema_power: float = DIFFUSION.ema_power,
+        warmup_steps: int = 0,
     ):
         self.model = model or ConditionalUnet1D()
         self.sched = ddim.make_schedule(num_train_timesteps)
         self.num_train_timesteps = num_train_timesteps
         self.ema_power = ema_power
-        lr = optax.cosine_decay_schedule(learning_rate, max(total_steps, 1))
+        if warmup_steps > 0:
+            lr = optax.warmup_cosine_decay_schedule(
+                0.0, learning_rate, warmup_steps, max(total_steps, 1)
+            )
+        else:
+            lr = optax.cosine_decay_schedule(learning_rate, max(total_steps, 1))
         self.tx = optax.adam(lr)
 
     def init(self, rng: jax.Array, example: jnp.ndarray) -> GenTrainState:
@@ -103,6 +109,49 @@ class GeneratorTrainer:
         noisy = ddim.add_noise(self.sched, batch, noise, t)
         pred = self.model.apply({"params": state.params}, noisy, t)
         return {"loss": jnp.mean((pred - noise) ** 2)}
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def recon_metrics(
+        self,
+        state: GenTrainState,
+        batch: jnp.ndarray,
+        rng: jax.Array,
+        num_inference_steps: int = DIFFUSION.num_inference_steps,
+    ) -> Dict[str, jnp.ndarray]:
+        """Reconstruction check (reference validation_step,
+        generator/diffusion.py:181-244): noise the clean batch at a mid
+        timestep, run the full inference denoise loop, and report
+        per-step noise-pred MSE, final denoise MSE, and the fraction of
+        points reconstructed within 0.01.
+
+        The reference (unintentionally) noises at train-timestep index
+        ``num_inference_steps`` (=5 of 15) — i.e. a PARTIAL noising — and
+        still denoises with the full schedule; reproduced here since the
+        published validation numbers depend on it."""
+        noise = jax.random.normal(rng, batch.shape)
+        t_noise = jnp.full((batch.shape[0],), num_inference_steps)
+        sample = ddim.add_noise(self.sched, batch, noise, t_noise)
+        ts = jnp.asarray(
+            ddim.inference_timesteps(self.num_train_timesteps, num_inference_steps)
+        )
+        pts = jnp.asarray(
+            ddim.prev_timesteps(self.num_train_timesteps, num_inference_steps)
+        )
+
+        def body(sample, tp):
+            t, pt = tp
+            tb = jnp.full((sample.shape[0],), t)
+            eps = self.model.apply({"params": state.params}, sample, tb)
+            step_mse = jnp.mean((eps - noise) ** 2)
+            return ddim.ddim_step(self.sched, eps, t, pt, sample), step_mse
+
+        sample, step_mses = jax.lax.scan(body, sample, (ts, pts))
+        return {
+            "noise_pred_loss": jnp.mean(step_mses),
+            "denoise_loss": jnp.mean((sample - batch) ** 2),
+            "accuracy": jnp.mean((jnp.abs(sample - batch) < 0.01)
+                                 .astype(jnp.float32)),
+        }
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
     def sample(

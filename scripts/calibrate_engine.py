@@ -93,6 +93,8 @@ def main():
                     help="initial contact-gain multiplicity")
     ap.add_argument("--init_unload", type=float, default=1.0)
     ap.add_argument("--init_rough", type=float, default=30.0)
+    ap.add_argument("--init_json", type=str, default=None,
+                    help="warm-start from a previous calib2d.json 'fitted'")
     args = ap.parse_args()
     os.makedirs(OUT, exist_ok=True)
 
@@ -161,6 +163,10 @@ def main():
         unload=jnp.float32(args.init_unload),
         rough=jnp.float32(args.init_rough),
     )
+    if args.init_json:
+        with open(args.init_json) as f:
+            fitted0 = json.load(f)["fitted"]
+        init = init.replace(**{k: jnp.float32(v) for k, v in fitted0.items()})
     lp = jax.tree.map(jnp.log, init)
 
     def eval_split(lp, idx, label):
