@@ -21,7 +21,9 @@ import numpy as np
 from dgdm_tpu.core.config import GRIPPER_3D, SIM
 from dgdm_tpu.geom.spline import gripper3d_surface
 from dgdm_tpu.sim.types import Scene3D, State3D
-from dgdm_tpu.sim.engine2d import B_CONTACT, IMPEDANCE, K_CONTACT
+from dgdm_tpu.sim.engine2d import (
+    B_CONTACT, Calib, DEPTH_EL_CAP, IMPEDANCE, K_CONTACT, ROUGH_SAT,
+)
 
 # construct the cached B-spline surface at import time, outside any jit
 # trace (a trace-time first construction would cache tracer constants)
@@ -30,8 +32,49 @@ _SURF = gripper3d_surface()
 K_PLANE3 = 2.5e4
 B_PLANE3 = 300.0
 SOLVER_ITERS = 8
-FINGER_MASS_FACTOR = 2.4
 HGRID_H, HGRID_W = 64, 32   # height-grid resolution over (x, z)
+
+# fitted contact parameters (scripts/calibrate_engine3d.py); see engine2d for
+# the physical meaning of each knob
+UNLOAD3 = 0.0
+ROUGH3 = 0.0
+K_MULT3 = 1.0
+
+
+def default_calib3() -> Calib:
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    return Calib(
+        mu_plane=f32(SIM.friction_slide),
+        mu_finger=f32(SIM.friction_slide),
+        mu_torsion=f32(SIM.friction_torsion),
+        k_contact=f32(K_CONTACT * K_MULT3),
+        b_contact=f32(B_CONTACT * K_MULT3),
+        unload=f32(UNLOAD3),
+        rough=f32(ROUGH3),
+    )
+
+
+def finger_masses_3d(yl: np.ndarray, yr: np.ndarray) -> np.ndarray:
+    """Exact per-jaw masses of the oracle scene: MuJoCo convex-hulls every
+    vertex-only mesh, so a jaw = hull(visual sheet) + the 12 slab hulls
+    (sim/oracle3d.py). Verified to machine precision against MjModel. The
+    per-finger mass sets the kp=10 servo arrival time — first-order for
+    where in the grip transient the 800-step profile lands."""
+    from scipy.spatial import ConvexHull
+
+    from dgdm_tpu.sim.oracle3d import _finger_slab_meshes, _surface_grid
+
+    g = GRIPPER_3D
+    out = []
+    for y in (yl, yr):
+        grid = _surface_grid(np.asarray(y)).reshape(-1, 3)
+        vol = ConvexHull(
+            np.concatenate([grid, grid + [0, g.width, 0]])
+        ).volume
+        for slab in _finger_slab_meshes(np.asarray(y)):
+            vol += ConvexHull(slab).volume
+        out.append(SIM.density * vol)
+    return np.asarray(out)
 
 
 def bake_height_grids(yl: np.ndarray, yr: np.ndarray) -> np.ndarray:
@@ -100,17 +143,14 @@ def make_scene(
 
     g = GRIPPER_3D
     hgrid = bake_height_grids(yl, yr)
+    # the oracle body = visual + collision copies of the same (hulled) mesh:
+    # exactly 2x the mesh mass for convex objects (scan objects are used via
+    # their V-HACD hulls in the reference too)
     mass, com, inertia = mesh3d.mass_properties(verts, faces, SIM.density)
     mass *= SIM.mass_factor
     inertia = inertia * SIM.mass_factor
     pts = mesh3d.sample_surface(verts, faces, num_points, seed=seed)
-    fmass = (
-        FINGER_MASS_FACTOR
-        * SIM.density
-        * (g.ctrl_x_max - g.ctrl_x_min)
-        * (g.ctrl_z_max - g.ctrl_z_min)
-        * g.width
-    )
+    fmass = finger_masses_3d(yl, yr)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
     return Scene3D(
         yl=f32(np.asarray(yl).reshape(g.nu, g.nv)),
@@ -180,7 +220,10 @@ def step(
     dt: float = SIM.dt,
     regrasp: jnp.ndarray | None = None,
     solver_iters: int = SOLVER_ITERS,
+    calib: Calib | None = None,
 ) -> State3D:
+    if calib is None:
+        calib = default_calib3()
     g = GRIPPER_3D
     m, fm = scene.mass, scene.finger_mass
     inv_m, inv_fm = 1.0 / m, 1.0 / fm
@@ -229,10 +272,11 @@ def step(
     # effective mass along normals; finger coupling only for rows 0/1
     rxn = jnp.cross(jnp.broadcast_to(r, n.shape), n)          # (3, P, 3)
     ang = jnp.einsum("cpi,ij,cpj->cp", rxn, inv_i, rxn)
-    fing_y = jnp.stack(
-        [n_l[:, 1] ** 2, n_r[:, 1] ** 2, jnp.zeros_like(depth_p)]
+    fing_inv = jnp.stack(
+        [n_l[:, 1] ** 2 * inv_fm[0], n_r[:, 1] ** 2 * inv_fm[1],
+         jnp.zeros_like(depth_p)]
     )
-    m_eff_n = 1.0 / (inv_m + ang + fing_y * inv_fm)
+    m_eff_n = 1.0 / (inv_m + ang + fing_inv)
 
     k_c = jnp.array([K_CONTACT, K_CONTACT, K_PLANE3])[:, None]
     b_c = jnp.array([B_CONTACT, B_CONTACT, B_PLANE3])[:, None]
@@ -250,14 +294,62 @@ def step(
     d_imp = IMPEDANCE
     target_n = (1.0 - d_imp * b_c * dt) * vn0 + d_imp * dt * k_c * depth
 
+    # Explicit elastic wedge on the FINGER rows (see engine2d.step: MuJoCo's
+    # decomposition multiplicity makes its sustained grip forces scale with
+    # the overlapping-pair count; the calib gains absorb that). The plane row
+    # stays implicit. Wrench-clamped so multi-point sums cannot overshoot.
+    el_row = jnp.array([1.0, 1.0, 0.0])[:, None]
+    depth_el = el_row * act * jnp.clip(depth, 0.0, DEPTH_EL_CAP)
+    v_cap = d_imp * dt * calib.k_contact * depth_el
+    dv_el = jnp.clip(
+        d_imp * dt * (calib.k_contact * depth_el - calib.b_contact * vn0),
+        0.0,
+        jnp.maximum(v_cap - vn0, 0.0),
+    ) * el_row * act
+    imp_mag = m_eff_n * dv_el                                # (3, P)
+    imp_el = imp_mag[..., None] * n                          # (3, P, 3)
+    dvel_u = jnp.sum(imp_el, axis=(0, 1)) * inv_m            # (3,)
+    dom_u = inv_i @ jnp.sum(
+        jnp.cross(jnp.broadcast_to(r, imp_el.shape), imp_el), axis=(0, 1)
+    )
+    dqd_u = -jnp.stack(
+        [jnp.sum(imp_el[0, :, 1]), jnp.sum(imp_el[1, :, 1])]
+    ) * inv_fm                                               # (2,)
+    dv_pts = dvel_u + jnp.cross(dom_u, r)                    # (P, 3)
+    dqd_rows = jnp.stack(
+        [dqd_u[0] * jnp.array([0.0, 1.0, 0.0]),
+         dqd_u[1] * jnp.array([0.0, 1.0, 0.0]),
+         jnp.zeros(3)]
+    )                                                        # (3, 3)
+    dvn_ind = jnp.sum((dv_pts[None] - dqd_rows[:, None, :]) * n, axis=-1)
+    headroom = jnp.maximum(v_cap - vn0, 0.0)
+    take_el = (dv_el > 0) & (dvn_ind > 1e-9)
+    denom = jnp.where(take_el, dvn_ind, 1.0)
+    s_el = jnp.clip(
+        jnp.min(jnp.where(take_el, headroom / denom, jnp.inf)), 0.0, 1.0
+    )
+    imp_mag = s_el * imp_mag
+    imp_el = s_el * imp_el
+
+    # mean-field plane unloading of the plane-row friction cap (2D analog;
+    # in 3D most of the lift-off emerges from the real 6-DOF solve, so the
+    # fitted gain stays small)
+    grip_ratio = jnp.sum(imp_mag) / (dt * m * SIM.gravity)
+    plane_fric_scale = 1.0 / (1.0 + calib.unload * grip_ratio)
+
     # unconstrained update
     ctrl_c = jnp.clip(
         ctrl, jnp.array([0.0, -g.ctrl_clamped]), jnp.array([g.ctrl_clamped, 0.0])
     )
     f_fing = g.kp * (ctrl_c - state.q) - g.joint_damping * state.qd
-    vel = state.vel + dt * jnp.array([0.0, 0.0, -SIM.gravity])
-    om = state.om
-    qd = state.qd + dt * f_fing * inv_fm
+    vel = state.vel + dt * jnp.array([0.0, 0.0, -SIM.gravity]) \
+        + jnp.sum(imp_el, axis=(0, 1)) * inv_m
+    om = state.om + inv_i @ jnp.sum(
+        jnp.cross(jnp.broadcast_to(r, imp_el.shape), imp_el), axis=(0, 1)
+    )
+    qd = state.qd + dt * f_fing * inv_fm - jnp.stack(
+        [jnp.sum(imp_el[0, :, 1]), jnp.sum(imp_el[1, :, 1])]
+    ) * inv_fm
 
     lam_n = jnp.zeros_like(depth)
     lam_t = jnp.zeros(depth.shape + (3,), jnp.float32)
@@ -279,11 +371,18 @@ def step(
         d_n = new_n - lam_n
 
         # friction: tangential component, vector cone clamp; effective mass
-        # approximated by the normal-direction m_eff (standard PGS shortcut)
+        # approximated by the normal-direction m_eff (standard PGS shortcut).
+        # Caps include the elastic wedge load, crack capture on finger rows,
+        # and the unload scale on the plane row.
         vt = vrel - vn[..., None] * n
         d_lam_t = -w_c[..., None] * m_eff_n[..., None] * vt
         cand = lam_t + d_lam_t
-        cap = SIM.friction_slide * new_n
+        mu_row = jnp.stack(
+            [calib.mu_finger, calib.mu_finger,
+             calib.mu_plane * plane_fric_scale]
+        )[:, None]
+        cap = mu_row * (new_n + imp_mag) \
+            + calib.rough * el_row * m_eff_n * jnp.minimum(depth_el, ROUGH_SAT)
         nrm = jnp.sqrt(jnp.sum(cand * cand, -1) + 1e-20)
         cand = cand * jnp.minimum(1.0, cap / nrm)[..., None]
         d_t = cand - lam_t
@@ -336,6 +435,7 @@ def rollout(
     dt: float = SIM.dt,
     regrasp_every: int = 0,
     solver_iters: int = SOLVER_ITERS,
+    calib: Calib | None = None,
 ):
     """Returns (delta_theta, delta_pos (2,), final_theta, valid) where valid
     is False on tip-over (quat x/y beyond the reference's 1e-2 tolerance)."""
@@ -348,7 +448,7 @@ def rollout(
         else:
             rg = None
         return step(scene, state, ctrl, dt, regrasp=rg,
-                    solver_iters=solver_iters), None
+                    solver_iters=solver_iters, calib=calib), None
 
     state, _ = jax.lax.scan(body, state0, jnp.arange(steps))
     theta0 = pose[2]
@@ -371,15 +471,17 @@ def profile(
     steps: int = SIM.steps_3d,
     regrasp_every: int = 0,
     solver_iters: int = SOLVER_ITERS,
+    calib: Calib | None = None,
 ):
     return jax.vmap(
         lambda p: rollout(
             scene, p, steps=steps, regrasp_every=regrasp_every,
-            solver_iters=solver_iters,
+            solver_iters=solver_iters, calib=calib,
         )
     )(poses)
 
 
 @functools.partial(jax.jit, static_argnames=("steps",))
-def profile_batch(scenes: Scene3D, poses: jnp.ndarray, steps: int = SIM.steps_3d):
-    return jax.vmap(lambda sc: profile(sc, poses, steps=steps))(scenes)
+def profile_batch(scenes: Scene3D, poses: jnp.ndarray, steps: int = SIM.steps_3d,
+                  calib: Calib | None = None):
+    return jax.vmap(lambda sc: profile(sc, poses, steps=steps, calib=calib))(scenes)

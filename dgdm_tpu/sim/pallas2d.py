@@ -29,6 +29,7 @@ from dgdm_tpu.sim.engine2d import (
     B_CONTACT,
     B_PLANE,
     DEPTH_EL_CAP,
+    ROUGH_SAT,
     IMPEDANCE,
     K_CONTACT,
     K_PLANE,
@@ -269,7 +270,8 @@ def _rollout_kernel(
             new_n = jnp.maximum(lam_n + d_n0, 0.0)
             d_n = new_n - lam_n
 
-            cap = mu_finger * (new_n + imp_el) + rough * me_t * depth_el
+            cap = (mu_finger * (new_n + imp_el)
+                   + rough * me_t * jnp.minimum(depth_el, ROUGH_SAT))
             new_t = jnp.clip(lam_t - w_c * me_t * vt, -cap, cap)
             d_t = new_t - lam_t
 

@@ -24,6 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 from dgdm_tpu.core.config import GRIPPER_3D, SIM
 from dgdm_tpu.sim.engine2d import B_CONTACT, IMPEDANCE, K_CONTACT
 from dgdm_tpu.sim.engine3d import B_PLANE3, K_PLANE3, SOLVER_ITERS
+from dgdm_tpu.sim.engine2d import DEPTH_EL_CAP, ROUGH_SAT
 from dgdm_tpu.sim.surface_fit import DEG_X, DEG_Z, N_SEG, fit_surface_batch
 
 LANE = 128
@@ -68,7 +69,9 @@ def _surface_eval(coef_ref, finger: int, seg, t, s):
 def _rollout3d_kernel(
     coef_ref,        # (1, 2, N_SEG, 4, 3) fitted surface polys (l, r)
     pts_ref,         # (1, P, 4): body-frame surface points (x, y, z, pad)
-    scal_ref,        # (1, 1, 16): mass, fmass, com(3), invI(9) upper-tri(6)+...
+    scal_ref,        # (1, 1, 24): mass, fmass_l, com(3), invI upper-tri(6),
+                     # fmass_r, mu_plane, mu_finger, k_con, b_con, unload,
+                     # rough, pad (see scene_arrays_3d)
     poses_ref,       # (3, LANE)
     qw_ref, qz_ref, dpx_ref, dpy_ref, valid_ref,     # (1, 1, LANE) each
     sqw_ref, sqz_ref, sdx_ref, sdy_ref,              # snapshot outputs
@@ -86,7 +89,7 @@ def _rollout3d_kernel(
     hseg = (x1f - x0f) / N_SEG
 
     mass = scal_ref[0, 0, 0]
-    fmass = scal_ref[0, 0, 1]
+    fmass_l = scal_ref[0, 0, 1]
     com_x = scal_ref[0, 0, 2]
     com_y = scal_ref[0, 0, 3]
     com_z = scal_ref[0, 0, 4]
@@ -97,7 +100,15 @@ def _rollout3d_kernel(
     i01 = scal_ref[0, 0, 8]
     i02 = scal_ref[0, 0, 9]
     i12 = scal_ref[0, 0, 10]
-    inv_m, inv_fm = 1.0 / mass, 1.0 / fmass
+    fmass_r = scal_ref[0, 0, 11]
+    mu_plane = scal_ref[0, 0, 12]
+    mu_finger = scal_ref[0, 0, 13]
+    k_cal = scal_ref[0, 0, 14]
+    b_cal = scal_ref[0, 0, 15]
+    unload = scal_ref[0, 0, 16]
+    rough = scal_ref[0, 0, 17]
+    inv_m = 1.0 / mass
+    inv_fml, inv_fmr = 1.0 / fmass_l, 1.0 / fmass_r
 
     pbx = pts_ref[0, :, 0:1] - com_x               # (P, 1)
     pby = pts_ref[0, :, 1:2] - com_y
@@ -127,7 +138,6 @@ def _rollout3d_kernel(
 
     ctrl_l = jnp.float32(min(ctrl_mag, g.ctrl_clamped))
     d_imp = jnp.float32(IMPEDANCE)
-    mu = jnp.float32(SIM.friction_slide)
 
     def step_body(i, st):
         (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
@@ -231,7 +241,8 @@ def _rollout3d_kernel(
 
         cf = contact_frame(nfx, nfy, nfz)
         cp = contact_frame(zero, zero, zero + 1.0)
-        me_f = 1.0 / (inv_m + cf[3] + nfy * nfy * inv_fm)
+        inv_fm_pt = jnp.where(is_l, inv_fml, inv_fmr)
+        me_f = 1.0 / (inv_m + cf[3] + nfy * nfy * inv_fm_pt)
         me_p = 1.0 / (inv_m + cp[3])
 
         # targets from pre-update velocities
@@ -246,12 +257,58 @@ def _rollout3d_kernel(
         tgt_f = (1.0 - d_imp * bc * dt) * vn_f0 + d_imp * dt * kc * depth_f
         tgt_p = (1.0 - d_imp * bp_ * dt) * vn_p0 + d_imp * dt * kp_ * depth_p
 
-        # unconstrained update
+        # explicit elastic wedge on finger contacts (engine3d.step), with the
+        # global energy clamp on the summed wrench
+        depth_el = act_f * jnp.clip(depth_f, 0.0, DEPTH_EL_CAP)
+        v_cap = d_imp * dt * k_cal * depth_el
+        dv_el = act_f * jnp.clip(
+            d_imp * dt * (k_cal * depth_el - b_cal * vn_f0),
+            0.0,
+            jnp.maximum(v_cap - vn_f0, 0.0),
+        )
+        imp0 = me_f * dv_el                           # (P, L)
+        i0x, i0y, i0z = imp0 * nfx, imp0 * nfy, imp0 * nfz
+        dvx_u = jnp.sum(i0x, 0, keepdims=True) * inv_m
+        dvy_u = jnp.sum(i0y, 0, keepdims=True) * inv_m
+        dvz_u = jnp.sum(i0z, 0, keepdims=True) * inv_m
+        tqx_u = jnp.sum(ry * i0z - rz * i0y, 0, keepdims=True)
+        tqy_u = jnp.sum(rz * i0x - rx * i0z, 0, keepdims=True)
+        tqz_u = jnp.sum(rx * i0y - ry * i0x, 0, keepdims=True)
+        dox_u, doy_u, doz_u = wmul(tqx_u, tqy_u, tqz_u)
+        dqdl_u = -jnp.sum(is_lf * i0y, 0, keepdims=True) * inv_fml
+        dqdr_u = -jnp.sum((1.0 - is_lf) * i0y, 0, keepdims=True) * inv_fmr
+        dqd_pt = jnp.where(is_l, dqdl_u, dqdr_u)
+        dvn_ind = (
+            (dvx_u + doy_u * rz - doz_u * ry) * nfx
+            + (dvy_u + doz_u * rx - dox_u * rz - dqd_pt) * nfy
+            + (dvz_u + dox_u * ry - doy_u * rx) * nfz
+        )
+        headroom = jnp.maximum(v_cap - vn_f0, 0.0)
+        take_el = (dv_el > 0) & (dvn_ind > 1e-9)
+        denom = jnp.where(take_el, dvn_ind, 1.0)
+        s_el = jnp.clip(
+            jnp.min(jnp.where(take_el, headroom / denom,
+                              jnp.float32(jnp.inf)), 0, keepdims=True),
+            0.0, 1.0,
+        )
+        imp_el = s_el * imp0                          # (P, L)
+        grip_ratio = jnp.sum(imp_el, 0, keepdims=True) / (
+            dt * mass * jnp.float32(SIM.gravity)
+        )
+        plane_scale = 1.0 / (1.0 + unload * grip_ratio)
+        rough_cap = rough * me_f * jnp.minimum(depth_el, ROUGH_SAT)
+
+        # unconstrained update (elastic wedge applied)
         f_l = g.kp * (ctrl_l - ql) - g.joint_damping * qdl
         f_r = g.kp * (-ctrl_l - qr) - g.joint_damping * qdr
-        vz = vz - dt * jnp.float32(SIM.gravity)
-        qdl = qdl + dt * f_l * inv_fm
-        qdr = qdr + dt * f_r * inv_fm
+        vx = vx + s_el * dvx_u
+        vy = vy + s_el * dvy_u
+        vz = vz - dt * jnp.float32(SIM.gravity) + s_el * dvz_u
+        ox = ox + s_el * dox_u
+        oy = oy + s_el * doy_u
+        oz = oz + s_el * doz_u
+        qdl = qdl + dt * f_l * inv_fml + s_el * dqdl_u
+        qdr = qdr + dt * f_r * inv_fmr + s_el * dqdr_u
 
         lam = [jnp.zeros_like(depth_f) for _ in range(2)]
         lamt = [[jnp.zeros_like(depth_f) for _ in range(3)] for _ in range(2)]
@@ -285,7 +342,10 @@ def _rollout3d_kernel(
                 ctx = lam_t[idx][0] - w_c * me * vtx
                 cty = lam_t[idx][1] - w_c * me * vty
                 ctz = lam_t[idx][2] - w_c * me * vtz
-                cap = mu * new_n
+                if which == 0:
+                    cap = mu_finger * (new_n + imp_el) + rough_cap
+                else:
+                    cap = mu_plane * plane_scale * new_n
                 nrm = jnp.sqrt(ctx * ctx + cty * cty + ctz * ctz + 1e-20)
                 sc = jnp.minimum(1.0, cap / nrm)
                 ctx, cty, ctz = ctx * sc, cty * sc, ctz * sc
@@ -305,10 +365,10 @@ def _rollout3d_kernel(
                 dox, doy, doz = wmul(tqx, tqy, tqz)
                 ox, oy, oz = ox + dox, oy + doy, oz + doz
                 if which == 0:
-                    qdl = qdl - jnp.sum(is_lf * iy, 0, keepdims=True) * inv_fm
+                    qdl = qdl - jnp.sum(is_lf * iy, 0, keepdims=True) * inv_fml
                     qdr = qdr - jnp.sum(
                         (1.0 - is_lf) * iy, 0, keepdims=True
-                    ) * inv_fm
+                    ) * inv_fmr
             return (vx, vy, vz, ox, oy, oz, qdl, qdr,
                     lam_n[0], lam_n[1],
                     lam_t[0][0], lam_t[0][1], lam_t[0][2],
@@ -424,7 +484,7 @@ def profile_batch_pallas3d(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, 4), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 16), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, 24), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, LANE), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -451,7 +511,7 @@ def profile_batch_pallas3d(
     return dth, sdpos, theta_f, valid > 0.5, fpos
 
 
-def scene_arrays_3d(scenes) -> Tuple[jnp.ndarray, ...]:
+def scene_arrays_3d(scenes, calib=None) -> Tuple[jnp.ndarray, ...]:
     """Stacked Scene3D pytree -> (coefs, points, scalars) kernel inputs.
     Fits the surface polynomials (host-side) from the stacked ctrl grids."""
     yls = np.asarray(scenes.yl)                     # (B, 7, 3)
@@ -464,9 +524,13 @@ def scene_arrays_3d(scenes) -> Tuple[jnp.ndarray, ...]:
     points = np.concatenate(
         [pts, np.zeros((b, pts.shape[1], 1), np.float32)], axis=-1
     )
-    scal = np.zeros((b, 1, 16), np.float32)
+    from dgdm_tpu.sim import engine3d as _e3
+
+    if calib is None:
+        calib = _e3.default_calib3()
+    scal = np.zeros((b, 1, 24), np.float32)
     scal[:, 0, 0] = np.asarray(scenes.mass)
-    scal[:, 0, 1] = np.asarray(scenes.finger_mass)
+    scal[:, 0, 1] = np.asarray(scenes.finger_mass)[..., 0]
     scal[:, 0, 2:5] = np.asarray(scenes.com)
     inv_i = np.asarray(scenes.inv_inertia)          # (B, 3, 3)
     scal[:, 0, 5] = inv_i[:, 0, 0]
@@ -475,4 +539,11 @@ def scene_arrays_3d(scenes) -> Tuple[jnp.ndarray, ...]:
     scal[:, 0, 8] = inv_i[:, 0, 1]
     scal[:, 0, 9] = inv_i[:, 0, 2]
     scal[:, 0, 10] = inv_i[:, 1, 2]
+    scal[:, 0, 11] = np.asarray(scenes.finger_mass)[..., 1]
+    scal[:, 0, 12] = float(calib.mu_plane)
+    scal[:, 0, 13] = float(calib.mu_finger)
+    scal[:, 0, 14] = float(calib.k_contact)
+    scal[:, 0, 15] = float(calib.b_contact)
+    scal[:, 0, 16] = float(calib.unload)
+    scal[:, 0, 17] = float(calib.rough)
     return jnp.asarray(coefs), jnp.asarray(points), jnp.asarray(scal)

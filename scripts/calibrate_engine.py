@@ -71,13 +71,25 @@ def stats(en, mj, th=0.03):
 
 
 def load_suite(path=SUITE):
+    """Returns (scenes, thetas, target, steps, alt) where ``target`` is the
+    MEAN of the 50- and 100-slab oracle profiles when both suites exist —
+    fitting against one decomposition alone overfits its specific contact
+    noise (measured: corr 0.51 to the fitted decomposition vs 0.29 to the
+    other); the mean estimates the shared deterministic signal. ``alt`` is
+    the 100-slab profile for held-out decomposition evaluation."""
     d = np.load(path)
     scenes = [
         engine2d.make_scene(yl, yr, c)
         for yl, yr, c in zip(d["yl"], d["yr"], d["contours"])
     ]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
-    return stacked, d["thetas"], d["delta_theta"], int(d["steps"])
+    target = d["delta_theta"]
+    alt = None
+    alt_path = path.replace(".npz", "_s100.npz")
+    if os.path.exists(alt_path):
+        alt = np.load(alt_path)["delta_theta"]
+        target = 0.5 * (target + alt)
+    return stacked, d["thetas"], target, int(d["steps"]), alt
 
 
 def main():
@@ -98,7 +110,7 @@ def main():
     args = ap.parse_args()
     os.makedirs(OUT, exist_ok=True)
 
-    scenes, ths, mj, steps = load_suite()
+    scenes, ths, mj, steps, mj_alt = load_suite()
     n_cases = mj.shape[0]
     val_idx = np.arange(0, n_cases, args.holdout_every)
     train_idx = np.setdiff1d(np.arange(n_cases), val_idx)
@@ -176,8 +188,15 @@ def main():
             en.append(np.asarray(profile_fn(lp, take(scenes, ii))))
         en = np.concatenate(en)
         c, r, a = stats(en, mj[idx])
-        print(f"  {label}: corr {c:.3f} ratio {r:.3f} agree {a:.3f}", flush=True)
-        return {"corr": c, "ratio": r, "agree": a}
+        out = {"corr": c, "ratio": r, "agree": a}
+        msg = f"  {label}: corr {c:.3f} ratio {r:.3f} agree {a:.3f}"
+        if mj_alt is not None:
+            c2, r2, a2 = stats(en, mj_alt[idx])
+            out["corr_alt_decomp"] = c2
+            out["agree_alt_decomp"] = a2
+            msg += f" | vs-100-slab corr {c2:.3f} agree {a2:.3f}"
+        print(msg, flush=True)
+        return out
 
     print("before fit:", flush=True)
     before = {

@@ -1,0 +1,206 @@
+"""Gradient-based calibration of the 3D contact engine against MuJoCo.
+
+Same design as scripts/calibrate_engine.py (see there for the loss
+rationale): fit the engine3d Calib knobs on interaction-profile statistics
+against the MEAN of two oracle finger decompositions (12 and 24 slabs),
+with held-out cases and held-out-decomposition reporting. Orientations where
+the object tipped over in either oracle are masked out.
+
+    python scripts/build_oracle_suite3d.py --cases 30   # once
+    python scripts/calibrate_engine3d.py
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgdm_tpu.sim import engine3d
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "runs", "calib")
+SUITE = os.path.join(OUT, "oracle3d_suite.npz")
+
+
+def stats(en, mj, mask, th=0.02):
+    """Fidelity statistics over valid (upright) orientations."""
+    def cls(x):
+        return np.where(x > th, 2, np.where(x < -th, 0, 1))
+
+    corrs, ratios, agrees = [], [], []
+    for e, m, v in zip(en, mj, mask):
+        e, m = e[v], m[v]
+        if v.sum() < 6:
+            continue
+        if m.std() > 0.005:
+            c = np.corrcoef(e, m)[0, 1]
+            corrs.append(0.0 if not np.isfinite(c) else c)
+            ratios.append(e.std() / m.std())
+        agrees.append((cls(e) == cls(m)).mean())
+    return (float(np.mean(corrs)), float(np.median(ratios)),
+            float(np.mean(agrees)))
+
+
+def load_suite(path=SUITE):
+    d = np.load(path)
+    scenes = []
+    for i in range(len(d["yl"])):
+        verts = d["verts"][i][: d["nv"][i]].astype(np.float64)
+        faces = d["faces"][i][: d["nf"][i]]
+        scenes.append(
+            engine3d.make_scene(d["yl"][i], d["yr"][i], verts, faces,
+                                num_points=256)
+        )
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+    target = 0.5 * (d["delta_theta_s12"] + d["delta_theta_s24"])
+    mask = d["upright_s12"] & d["upright_s24"]
+    return (stacked, d["thetas"], target, d["delta_theta_s24"], mask,
+            int(d["steps"]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--opt_steps", type=int, default=40)
+    ap.add_argument("--lr", type=float, default=0.05)
+    ap.add_argument("--chunk", type=int, default=5)
+    ap.add_argument("--holdout_every", type=int, default=4)
+    ap.add_argument("--cls_weight", type=float, default=0.5)
+    ap.add_argument("--init_mult", type=float, default=20.0)
+    ap.add_argument("--init_unload", type=float, default=0.3)
+    ap.add_argument("--init_rough", type=float, default=100.0)
+    ap.add_argument("--init_json", type=str, default=None)
+    args = ap.parse_args()
+
+    scenes, ths, mj, mj_alt, mask, steps = load_suite()
+    n_cases = mj.shape[0]
+    val_idx = np.arange(0, n_cases, args.holdout_every)
+    train_idx = np.setdiff1d(np.arange(n_cases), val_idx)
+    print(f"{n_cases} cases: {len(train_idx)} train / {len(val_idx)} val; "
+          f"upright fraction {mask.mean():.2f}", flush=True)
+
+    poses = jnp.asarray(
+        np.stack([np.zeros_like(ths), np.zeros_like(ths), ths], -1), jnp.float32
+    )
+    maskj = jnp.asarray(mask.astype(np.float32))
+
+    ck_step = jax.checkpoint(engine3d.step, static_argnums=(3,))
+
+    def case_profile(calib, scene):
+        def one(pose):
+            state = engine3d.init_state(scene, pose)
+            ctrl = jnp.array([0.5, -0.5], jnp.float32)
+
+            def body(s, _):
+                return ck_step(scene, s, ctrl, 0.002, None,
+                               engine3d.SOLVER_ITERS, calib), None
+
+            state, _ = jax.lax.scan(body, state, None, length=steps)
+            th0 = pose[2]
+            thf = engine3d._z_angle(state.quat)
+            dth = thf - jnp.mod(th0, 2 * jnp.pi)
+            return dth - 2 * jnp.pi * jnp.round(dth / (2 * jnp.pi))
+
+        return jax.vmap(one)(poses)
+
+    def soft_class(x, th=0.02, tau=0.008):
+        return jnp.tanh((x - th) / tau) + jnp.tanh((x + th) / tau)
+
+    def chunk_loss(log_p, scenes_chunk, mj_chunk, m_chunk):
+        calib = jax.tree.map(jnp.exp, log_p)
+        en = jax.vmap(lambda sc: case_profile(calib, sc))(scenes_chunk)
+        w = m_chunk / jnp.maximum(m_chunk.sum(-1, keepdims=True), 1.0)
+        mu_e = jnp.sum(en * w, -1, keepdims=True)
+        mu_m = jnp.sum(mj_chunk * w, -1, keepdims=True)
+        ce = (en - mu_e) * m_chunk
+        cm = (mj_chunk - mu_m) * m_chunk
+        nse = ce * jax.lax.rsqrt(jnp.sum(ce**2, -1, keepdims=True) + 1e-8)
+        nsm = cm * jax.lax.rsqrt(jnp.sum(cm**2, -1, keepdims=True) + 1e-8)
+        sig = jnp.sqrt(jnp.mean(cm**2, -1))
+        wgt = sig / (sig + 0.005)
+        corr_l = jnp.mean(wgt * (1.0 - jnp.sum(nse * nsm, -1)))
+        std_en = jnp.sqrt(jnp.sum(ce**2, -1) / jnp.maximum(m_chunk.sum(-1), 1) + 1e-8)
+        std_mj = jnp.sqrt(jnp.sum(cm**2, -1) / jnp.maximum(m_chunk.sum(-1), 1) + 1e-8)
+        mag_l = jnp.mean(wgt * jnp.log(std_en / std_mj) ** 2)
+        cls = jnp.mean(m_chunk * (soft_class(en) - soft_class(mj_chunk)) ** 2)
+        return corr_l + 0.5 * mag_l + args.cls_weight * cls
+
+    grad_fn = jax.jit(jax.value_and_grad(chunk_loss))
+    profile_fn = jax.jit(
+        lambda log_p, sc: jax.vmap(
+            lambda s: case_profile(jax.tree.map(jnp.exp, log_p), s)
+        )(sc)
+    )
+
+    def take(tree, idx):
+        return jax.tree.map(lambda x: x[idx], tree)
+
+    from dgdm_tpu.sim.engine2d import CALIB_FIELDS, K_CONTACT, B_CONTACT
+
+    init = engine3d.default_calib3().replace(
+        k_contact=jnp.float32(K_CONTACT * args.init_mult),
+        b_contact=jnp.float32(B_CONTACT * args.init_mult),
+        unload=jnp.float32(args.init_unload),
+        rough=jnp.float32(args.init_rough),
+    )
+    if args.init_json:
+        with open(args.init_json) as f:
+            init = init.replace(**{
+                k: jnp.float32(v) for k, v in json.load(f)["fitted"].items()
+            })
+    lp = jax.tree.map(jnp.log, init)
+
+    def eval_split(lp, idx, label):
+        en = []
+        for s0 in range(0, len(idx), args.chunk):
+            ii = idx[s0: s0 + args.chunk]
+            en.append(np.asarray(profile_fn(lp, take(scenes, ii))))
+        en = np.concatenate(en)
+        c, r, a = stats(en, mj[idx], mask[idx])
+        c2, r2, a2 = stats(en, mj_alt[idx], mask[idx])
+        print(f"  {label}: corr {c:.3f} ratio {r:.3f} agree {a:.3f} | "
+              f"vs-24-slab corr {c2:.3f} agree {a2:.3f}", flush=True)
+        return {"corr": c, "ratio": r, "agree": a,
+                "corr_alt": c2, "agree_alt": a2}
+
+    print("before fit:", flush=True)
+    before = {"train": eval_split(lp, train_idx, "train"),
+              "val": eval_split(lp, val_idx, "val")}
+
+    import optax
+
+    tx = optax.chain(optax.zero_nans(), optax.clip_by_global_norm(3.0),
+                     optax.adam(args.lr))
+    opt_state = tx.init(lp)
+    rng = np.random.RandomState(0)
+    mjj = jnp.asarray(mj)
+    for it in range(args.opt_steps):
+        ii = rng.choice(train_idx, size=args.chunk, replace=False)
+        loss, g = grad_fn(lp, take(scenes, ii), mjj[ii], maskj[ii])
+        updates, opt_state = tx.update(g, opt_state)
+        lp = jax.tree.map(lambda a, b: a + b, lp, updates)
+        if it % 5 == 0:
+            vals = {k: float(np.exp(v)) for k, v in
+                    zip(CALIB_FIELDS, jax.tree.leaves(lp))}
+            print(f"step {it}: loss {float(loss):.4f} {vals}", flush=True)
+
+    print("after fit:", flush=True)
+    after = {"train": eval_split(lp, train_idx, "train"),
+             "val": eval_split(lp, val_idx, "val")}
+    fitted = jax.tree.map(lambda v: float(jnp.exp(v)), lp)
+    result = {
+        "fitted": {k: getattr(fitted, k) for k in CALIB_FIELDS},
+        "before": before, "after": after,
+        "n_cases": int(n_cases), "opt_steps": args.opt_steps,
+    }
+    with open(os.path.join(OUT, "calib3d.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -104,22 +104,46 @@ def test_pose_grid_matches_reference_order():
 
 
 @pytest.mark.slow
-def test_statistical_fidelity_vs_mujoco():
-    """Engine interaction-profile statistics vs the MuJoCo oracle. Thresholds
-    sit below MuJoCo's own decomposition-to-decomposition agreement (~0.7
-    smoothed corr, ~0.72 class agreement) but far above chance."""
-    from dgdm_tpu.sim.oracle import Oracle2D
+def test_statistical_fidelity_vs_mujoco_suite():
+    """20-case fidelity regression guard against the committed MuJoCo oracle
+    suite (runs/calib/oracle2d_suite*.npz, 60 objects x grippers x 48
+    orientations, built by scripts/build_oracle_suite.py).
 
-    contour = extract_contours(make_icon(3))
-    yl, yr = sample_gripper_2d(0)
-    n = 24
-    ths = np.linspace(0, 2 * np.pi, n, endpoint=False)
-    oracle = Oracle2D(yl, yr, contour)
-    mj = np.array([oracle.rollout(0, 0, th)[0] for th in ths])
+    Context for the thresholds (measured, docs/PARITY.md): MuJoCo's own
+    decomposition-to-decomposition ceiling on this suite is corr 0.758 /
+    agree 0.779; the calibrated engine achieves corr 0.50 / agree 0.66
+    against one decomposition and corr 0.40 / agree 0.62 against the
+    two-decomposition mean (the estimate of the deterministic signal).
+    Bounds sit just below those measurements so any fidelity REGRESSION
+    fails loudly, while the remaining gap to the ceiling is tracked in
+    docs/PARITY.md as open work."""
+    import os
 
-    scene = engine2d.make_scene(yl, yr, contour)
-    poses = np.stack([np.zeros(n), np.zeros(n), ths], -1).astype(np.float32)
-    en = np.asarray(engine2d.profile(scene, jnp.asarray(poses))[0])
+    suite = os.path.join(os.path.dirname(__file__), "..", "runs", "calib",
+                         "oracle2d_suite.npz")
+    if not os.path.exists(suite):
+        pytest.skip("oracle suite not built")
+    d = np.load(suite)
+    alt = np.load(suite.replace(".npz", "_s100.npz"))
+    cases = np.arange(0, 60, 3)          # 20 cases spanning all 5 families
+    mj = 0.5 * (d["delta_theta"] + alt["delta_theta"])[cases]
+    ths = d["thetas"]                    # all 48 orientations (the smoothed
+    mj = mj                              # corr is resolution-sensitive)
+
+    scenes = [
+        engine2d.make_scene(d["yl"][i], d["yr"][i], d["contours"][i])
+        for i in cases
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+    poses = jnp.asarray(
+        np.stack([np.zeros_like(ths), np.zeros_like(ths), ths], -1),
+        jnp.float32,
+    )
+    en = np.asarray(
+        jax.jit(
+            lambda sc: jax.vmap(lambda s: engine2d.profile(s, poses)[0])(sc)
+        )(stacked)
+    )
 
     def smooth(x, w=5):
         k = np.ones(w) / w
@@ -128,12 +152,15 @@ def test_statistical_fidelity_vs_mujoco():
     def cls(x, th=0.03):
         return np.where(x > th, 2, np.where(x < -th, 0, 1))
 
-    corr = np.corrcoef(smooth(mj), smooth(en))[0, 1]
-    ratio = en.std() / mj.std()
-    agree = (cls(mj) == cls(en)).mean()
-    # single-case bounds are loose (per-case variance is large); the 6-case
-    # calibration suite averages corr 0.42 / ratio 0.90 / agree 0.62
-    # (docs/BENCH_NOTES.md)
-    assert corr > 0.3, f"smoothed profile corr too low: {corr}"
-    assert 0.4 < ratio < 2.2, f"delta_theta magnitude off: {ratio}"
-    assert agree > 0.4, f"3-class agreement too low: {agree}"
+    corrs, ratios, agrees = [], [], []
+    for e, m in zip(en, mj):
+        if m.std() > 0.01:
+            c = np.corrcoef(smooth(e), smooth(m))[0, 1]
+            corrs.append(0.0 if not np.isfinite(c) else c)
+            ratios.append(e.std() / m.std())
+        agrees.append((cls(e) == cls(m)).mean())
+    corr, ratio, agree = np.mean(corrs), np.median(ratios), np.mean(agrees)
+    assert corr > 0.30, f"suite corr regressed: {corr:.3f} (was 0.40)"
+    assert 0.35 < ratio < 1.8, f"magnitude regressed: {ratio:.3f} (was 0.62)"
+    assert agree > 0.55, f"class agreement regressed: {agree:.3f} (was 0.62)"
+    assert np.isfinite(en).all()

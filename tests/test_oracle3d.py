@@ -25,10 +25,11 @@ def test_engine3d_statistics_vs_mujoco():
     # masses must match the engine's (reference double-counts visual+collision)
     scene = engine3d.make_scene(yl, yr, verts, faces, num_points=256)
     assert abs(oracle.body_mass("object") - float(scene.mass)) < 0.1
-    assert (
-        abs(oracle.body_mass("left_jaw") - float(scene.finger_mass))
-        / float(scene.finger_mass)
-        < 0.15
+    # per-jaw masses are EXACT (MuJoCo hull parity, engine3d.finger_masses_3d)
+    np.testing.assert_allclose(
+        np.asarray(scene.finger_mass),
+        [oracle.body_mass("left_jaw"), oracle.body_mass("right_jaw")],
+        rtol=1e-4,
     )
 
     n = 12
