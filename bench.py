@@ -69,12 +69,23 @@ def _baselines() -> dict:
         b.setdefault("mj_eval_rollouts_per_sec", 0.6)
     try:
         from dgdm_tpu.geom.fingers import sample_gripper_3d
-        from dgdm_tpu.geom.mesh3d import box_mesh
         from dgdm_tpu.sim.oracle3d import Oracle3D
 
+        # representative 3D scene cost: the reference's objects carry ~32
+        # V-HACD hulls (sim/sim_3d.py, -h 32) and fingers similar; a 1-hull
+        # box would overstate MuJoCo's speed, so use 24 finger slabs and an
+        # octagonal prism object
+        sys_path = os.path.dirname(__file__)
+        import importlib.util as _ilu
+
+        spec = _ilu.spec_from_file_location(
+            "suite3d", os.path.join(sys_path, "scripts",
+                                    "build_oracle_suite3d.py"))
+        suite3d = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(suite3d)
+        verts, faces = suite3d.prism_mesh(8, 0.05, 0.08)
         yl, yr = sample_gripper_3d(0)
-        verts, faces = box_mesh()
-        o3 = Oracle3D(yl, yr, verts, faces)
+        o3 = Oracle3D(yl, yr, verts, faces, num_slabs=24)
         o3.rollout(0.0, 0.0, 0.0, steps=100)  # warm
         t0 = time.time()
         o3.rollout(0.0, 0.0, 1.0, steps=800)
@@ -127,7 +138,7 @@ def measure_tpu_2d(num_pairs: int = 32, repeats: int = 2) -> float:
     return total * repeats / (time.time() - t0)
 
 
-def measure_tpu_3d(num_pairs: int = 4, num_poses: int = 1152) -> float:
+def measure_tpu_3d(num_pairs: int = 8, num_poses: int = 1152) -> float:
     import jax
     import jax.numpy as jnp
 

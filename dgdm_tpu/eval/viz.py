@@ -188,3 +188,96 @@ def rollout_video_2d(
             seg[(gy >= yr_low) & (gy <= yr_low + g.width) & in_x] = 3
             w.append_data(colors[seg[::-1]])  # flip y for image coords
     return save_path
+
+
+def _finger_surface_grid(y_ctrl: np.ndarray, n: int = 25) -> np.ndarray:
+    """(n*n, 3) points on one finger's B-spline surface (body frame)."""
+    from dgdm_tpu.sim.oracle3d import _surface_grid
+
+    return _surface_grid(np.asarray(y_ctrl).reshape(-1), n).reshape(-1, 3)
+
+
+def render_scene_3d(
+    obj_points: np.ndarray,      # (P, 3) object surface points, body frame
+    com: np.ndarray,             # (3,) body COM
+    yl: np.ndarray,
+    yr: np.ndarray,
+    state_row: np.ndarray,       # (9,): pos(3), quat wxyz(4), q(2)
+    save_path: str,
+    elev: float = 25.0,
+    azim: float = -60.0,
+) -> str:
+    """Matplotlib-3D point-splat of the gripper + object at one state — the
+    analytic replacement for the reference's offscreen MuJoCo RGB render
+    (sim/render_mesh.py:23-65, dynamics/sim_test_mj_3d.py render path)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from dgdm_tpu.core.config import GRIPPER_3D
+
+    g = GRIPPER_3D
+    pos, quat, q = state_row[:3], state_row[3:7], state_row[7:9]
+    w, x, y, z = quat
+    rot = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+    obj_w = pos + (np.asarray(obj_points) - np.asarray(com)) @ rot.T
+
+    fl = _finger_surface_grid(yl)
+    fr = _finger_surface_grid(yr)
+    fl_w = fl + [0.0, -g.jaw_offset + g.width + q[0], 0.0]
+    fr_w = fr + [0.0, g.jaw_offset + q[1], 0.0]
+
+    fig = plt.figure(figsize=(5, 5))
+    ax = fig.add_subplot(projection="3d")
+    ax.scatter(*obj_w.T, s=4, c="tab:orange", label="object")
+    ax.scatter(*fl_w.T, s=2, c="tab:blue", alpha=0.6)
+    ax.scatter(*fr_w.T, s=2, c="tab:green", alpha=0.6)
+    ax.set_xlim(-0.15, 0.15)
+    ax.set_ylim(-0.25, 0.25)
+    ax.set_zlim(-0.02, 0.2)
+    ax.view_init(elev=elev, azim=azim)
+    ax.set_box_aspect((0.3, 0.5, 0.22))
+    fig.savefig(save_path, dpi=90, bbox_inches="tight")
+    plt.close(fig)
+    return save_path
+
+
+def rollout_video_3d(
+    obj_points: np.ndarray,
+    com: np.ndarray,
+    yl: np.ndarray,
+    yr: np.ndarray,
+    traj: np.ndarray,            # (T, 9) from engine3d.rollout_trace3d
+    save_path: str,
+    fps: int = 10,
+) -> str:
+    """Frame sequence of a 3D squeeze (mp4 when imageio+ffmpeg are available,
+    else a .png frame strip) — replaces the reference's 3D render videos."""
+    import os
+    import tempfile
+
+    frames = []
+    with tempfile.TemporaryDirectory() as td:
+        for i, row in enumerate(np.asarray(traj)):
+            p = os.path.join(td, f"f{i:03d}.png")
+            render_scene_3d(obj_points, com, yl, yr, row, p)
+            frames.append(p)
+        try:
+            import imageio.v2 as imageio
+
+            with imageio.get_writer(save_path, fps=fps) as w:
+                for f in frames:
+                    w.append_data(imageio.imread(f))
+            return save_path
+        except Exception:
+            # fallback: keep the final frame as a still
+            import shutil
+
+            still = save_path.rsplit(".", 1)[0] + "_final.png"
+            shutil.copy(frames[-1], still)
+            return still

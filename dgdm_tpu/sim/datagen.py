@@ -46,6 +46,12 @@ def profile_pairs_2d(
     n = poses.shape[0]
     if jax.default_backend() != "tpu":
         use_pallas = False  # Mosaic kernels compile on TPU only
+    b = next(iter(jax.tree.leaves(scenes))).shape[0]
+    from dgdm_tpu.parallel import mesh as meshlib
+
+    mesh = meshlib.data_parallel_mesh()
+    if mesh is not None and b % mesh.shape["dp"] != 0:
+        mesh = None  # uneven pair block: fall back to single-device
     if use_pallas:
         from dgdm_tpu.sim import pallas2d
 
@@ -56,14 +62,32 @@ def profile_pairs_2d(
         else:
             poses_p = poses
         arrs = pallas2d.scene_arrays(scenes, calib=calib)
-        dth, dpos, fth, _ = pallas2d.profile_batch_pallas(
-            *arrs, jnp.asarray(poses_p)
-        )
+        if mesh is not None:
+            # multi-chip: pairs shard over dp, each device runs the fused
+            # kernel on its shard (the Ray fan-out analog over ICI)
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            poses_j = jnp.asarray(poses_p)
+            fn = shard_map(
+                lambda *a: pallas2d.profile_batch_pallas(*a, poses_j)[:3],
+                mesh=mesh,
+                in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+                out_specs=P("dp"),
+                check_rep=False,
+            )
+            dth, dpos, fth = fn(*arrs)
+        else:
+            dth, dpos, fth, _ = pallas2d.profile_batch_pallas(
+                *arrs, jnp.asarray(poses_p)
+            )
         return {
             "delta_theta": np.asarray(dth)[:, :n],
             "delta_pos": np.asarray(dpos)[:, :n],
             "final_theta": np.asarray(fth)[:, :n],
         }
+    if mesh is not None:
+        scenes = meshlib.shard_batch(mesh, scenes, "dp")
     assert n % chunk == 0 or chunk >= n, (n, chunk)
     outs = []
     for lo in range(0, n, chunk):

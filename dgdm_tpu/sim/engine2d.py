@@ -491,6 +491,37 @@ def _wrap(x):
     return x - 2.0 * jnp.pi * jnp.round(x / (2.0 * jnp.pi))
 
 
+@functools.partial(jax.jit, static_argnames=("steps", "every", "regrasp_every"))
+def rollout_trace(
+    scene: Scene2D,
+    pose: jnp.ndarray,
+    steps: int = SIM.steps_2d,
+    every: int = 10,
+    regrasp_every: int = 0,
+    calib: Calib | None = None,
+):
+    """Trajectory-capturing rollout for visualization: returns per-sampled-step
+    (obj_x, obj_y, theta, ql, qr) — exactly the tuple ``eval.viz.rollout_video_2d``
+    consumes (replaces the reference's segmentation-render mp4 path,
+    dynamics/sim_test_mj.py:219-233)."""
+    state0 = init_state(scene, pose)
+    ctrl = jnp.array([SIM.ctrl_2d, -SIM.ctrl_2d], jnp.float32)
+
+    def body(state, i):
+        if regrasp_every:
+            rg = (i % regrasp_every == 0) & (i > 0)
+        else:
+            rg = None
+        new = step(scene, state, ctrl, regrasp=rg, calib=calib)
+        origin = _origin_of(scene, new)
+        return new, jnp.stack(
+            [origin[0], origin[1], new.theta, new.q[0], new.q[1]]
+        )
+
+    _, tr = jax.lax.scan(body, state0, jnp.arange(steps))
+    return tr[::every]
+
+
 def pose_grid(
     grid_size: int = SIM.grid_size,
     num_pos: int = SIM.num_pos,

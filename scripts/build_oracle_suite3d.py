@@ -52,7 +52,8 @@ def suite_object_3d(i: int):
         hz = rng.uniform(0.04, 0.1)
         from dgdm_tpu.geom.mesh3d import box_mesh
 
-        return box_mesh(hx, hy, hz)
+        verts, faces = box_mesh(hx, hy, hz / 2, hz / 2)  # grounded: z in [0, hz]
+        return verts, faces
     if kind == 1:       # k-gon prism
         k = rng.randint(5, 9)
         return prism_mesh(k, rng.uniform(0.03, 0.06), rng.uniform(0.05, 0.1),

@@ -88,7 +88,7 @@ def main():
     )
     maskj = jnp.asarray(mask.astype(np.float32))
 
-    ck_step = jax.checkpoint(engine3d.step, static_argnums=(3,))
+    ck_step = jax.checkpoint(engine3d.step, static_argnums=(3, 5))
 
     def case_profile(calib, scene):
         def one(pose):

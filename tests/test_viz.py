@@ -51,3 +51,52 @@ def test_rollout_video(tmp_path):
     import os
 
     assert os.path.getsize(path) > 0
+
+
+def test_rollout_trace_feeds_video(tmp_path):
+    """Engine trajectory capture -> rollout_video_2d (VERDICT r1 item 7:
+    previously the video helper had no engine API feeding it)."""
+    import jax.numpy as jnp
+
+    from dgdm_tpu.geom.fingers import sample_gripper_2d
+    from dgdm_tpu.sim import engine2d
+
+    ang = np.linspace(0, 2 * np.pi, 100, endpoint=False)
+    rad = 0.035 * (1 + 0.2 * np.sin(3 * ang))
+    contour = np.stack([rad * np.cos(ang), rad * np.sin(ang)], -1)
+    yl, yr = sample_gripper_2d(0)
+    scene = engine2d.make_scene(yl, yr, contour)
+    tr = np.asarray(engine2d.rollout_trace(
+        scene, jnp.array([0.0, 0.0, 1.0], jnp.float32), steps=40, every=10
+    ))
+    assert tr.shape == (4, 5)
+    assert np.isfinite(tr).all()
+    out = viz.rollout_video_2d(contour, yl, yr, tr,
+                               str(tmp_path / "roll.mp4"))
+    assert out
+
+
+def test_render_scene_3d_and_video(tmp_path):
+    import jax.numpy as jnp
+
+    from dgdm_tpu.geom.fingers import sample_gripper_3d
+    from dgdm_tpu.geom.mesh3d import box_mesh
+    from dgdm_tpu.sim import engine3d
+
+    verts, faces = box_mesh()
+    yl, yr = sample_gripper_3d(0)
+    scene = engine3d.make_scene(yl, yr, verts, faces, num_points=128)
+    tr = np.asarray(engine3d.rollout_trace3d(
+        scene, jnp.array([0.0, 0.0, 0.5], jnp.float32), steps=40, every=20
+    ))
+    assert tr.shape == (2, 9)
+    p = viz.render_scene_3d(
+        np.asarray(scene.points), np.asarray(scene.com), yl, yr, tr[-1],
+        str(tmp_path / "scene3d.png"),
+    )
+    assert p.endswith(".png")
+    out = viz.rollout_video_3d(
+        np.asarray(scene.points), np.asarray(scene.com), yl, yr, tr,
+        str(tmp_path / "roll3d.mp4"),
+    )
+    assert out
