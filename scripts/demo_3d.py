@@ -34,7 +34,7 @@ from dgdm_tpu.train.generator import GeneratorTrainer
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "runs", "demo3d")
 N_GRIPPERS = 16
-DYN_STEPS = 250
+DYN_STEPS = 600
 DIFF_STEPS = 1200
 OBJECTIVES = ("rotate_clockwise", "rotate_counterclockwise", "shift_left")
 GRID = 45          # guided_sample_3d.sh grid size
@@ -102,7 +102,10 @@ def main():
     dtr = DynamicsTrainer(classifier, learning_rate=3e-4,
                           total_steps=DYN_STEPS, fingers_3d=True)
     rng = np.random.RandomState(0)
-    bs = 1024
+    # 256 rows x 512-pt clouds: PointNet++'s ball-query activations are
+    # (bs, npoint, nsample, ch) — 1024-row batches exceed single-chip HBM
+    # in the backward pass (measured 18.7G vs 15.75G)
+    bs = 256
     first = {k: jnp.asarray(v[:64]) for k, v in train_all.items()}
     dstate = dtr.init(jax.random.PRNGKey(0), first)
     key = jax.random.PRNGKey(1)
