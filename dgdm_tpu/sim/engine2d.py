@@ -61,10 +61,13 @@ class Calib:
     b_contact: jnp.ndarray     # normal constraint damping (1/s)
     unload: jnp.ndarray        # grip-induced plane-unloading gain (see step())
     rough: jnp.ndarray         # crack-capture tangential stiction gain (1/s)
+    c_r: jnp.ndarray           # constraint compliance scale (Newton solver):
+                               # r_i = c_r * A_ii, MuJoCo's R = (1-d)/d * A_ii
+                               # divided by the decomposition multiplicity
 
 
 CALIB_FIELDS = ("mu_plane", "mu_finger", "mu_torsion", "k_contact",
-                "b_contact", "unload", "rough")
+                "b_contact", "unload", "rough", "c_r")
 
 
 # Fitted against the 60-case x 48-theta MuJoCo oracle suite targeting the
@@ -81,12 +84,24 @@ FITTED_2D = {
     "b_contact": 701.45,
     "unload": 0.1384,
     "rough": 354.94,
+    "c_r": 0.0526 / 8.0,   # (1-d)/d over an ~8x patch multiplicity prior
 }
+
+# Fitted for the coupled Newton solver (scripts/calibrate_engine.py with
+# engine2d.SOLVER="newton"); see docs/PARITY.md for the resulting statistics.
+FITTED_2D_NEWTON = dict(FITTED_2D)
+
+# contact solver: "jacobi" (mass-split projected impulses + explicit elastic
+# wedge term — the round-1 model, what sim/pallas2d.py implements) or
+# "newton" (coupled semi-smooth Newton on the 5-DOF soft-constraint energy —
+# MuJoCo's own formulation, exact multi-contact wedge equilibrium).
+SOLVER = "jacobi"
 
 
 def default_calib() -> Calib:
     f32 = lambda v: jnp.asarray(v, jnp.float32)
-    return Calib(**{k: f32(v) for k, v in FITTED_2D.items()})
+    table = FITTED_2D_NEWTON if SOLVER == "newton" else FITTED_2D
+    return Calib(**{k: f32(v) for k, v in table.items()})
 
 
 def nominal_calib() -> Calib:
@@ -100,6 +115,7 @@ def nominal_calib() -> Calib:
         b_contact=f32(B_CONTACT),
         unload=f32(UNLOAD),
         rough=f32(ROUGH),
+        c_r=f32((1.0 - IMPEDANCE) / IMPEDANCE),
     )
 
 
@@ -126,11 +142,30 @@ ROUGH = 0.0
 ROUGH_SAT = 5.0e-4
 
 
+def upsample_contour(poly: np.ndarray, k: int) -> np.ndarray:
+    """Insert k-1 evenly spaced points on every polygon edge.
+
+    Contact is point-vs-heightfield, which only sees OBJECT-VERTEX -> finger
+    contacts; a convex finger bump touching an object edge mid-span (the dual
+    contact MuJoCo's mesh-mesh collider produces, where the sign of the
+    first-touch torque is decided) is invisible until an object vertex sinks
+    in. Densifying the contour restores those contacts: at first touch the
+    surfaces are tangent, so the heightfield normal at the nearest sample
+    equals the true contact normal to first order."""
+    if k <= 1:
+        return poly
+    nxt = np.roll(poly, -1, axis=0)
+    fr = np.arange(k, dtype=np.float64)[None, :, None] / k
+    dense = poly[:, None, :] * (1.0 - fr) + nxt[:, None, :] * fr
+    return dense.reshape(-1, poly.shape[1])
+
+
 def make_scene(
     yl: np.ndarray,
     yr: np.ndarray,
     contour: np.ndarray,
     support_grid: int = 8,
+    contour_upsample: int = 1,
 ) -> Scene2D:
     """Host-side scene construction from raw control points + object contour.
 
@@ -151,6 +186,7 @@ def make_scene(
     coef_r = np.einsum("skn,n->sk", coef_op, np.asarray(yr, np.float64))
     poly = contour_lib.ensure_ccw(np.asarray(contour, dtype=np.float64))
     area, com, i0 = polygon_lib.object_mass_properties_2d(poly)
+    poly_c = upsample_contour(poly, contour_upsample)
     spts, sw = polygon_lib.support_points(poly, grid=support_grid)
     mass = SIM.density * area * OBJECT_2D.height
     inertia = SIM.density * OBJECT_2D.height * i0
@@ -168,7 +204,7 @@ def make_scene(
     return Scene2D(
         coef_l=f32(coef_l),
         coef_r=f32(coef_r),
-        contour=f32(poly),
+        contour=f32(poly_c),
         com=f32(com),
         mass=f32(mass),
         inertia=f32(inertia),
@@ -255,6 +291,16 @@ IMPEDANCE = 0.95  # MuJoCo solimp d at full penetration
 
 def step(scene: Scene2D, state: State2D, ctrl: jnp.ndarray, dt: float = SIM.dt,
          regrasp: jnp.ndarray | None = None, calib: Calib | None = None) -> State2D:
+    """One semi-implicit Euler step, dispatching on the module SOLVER flag
+    (read at trace time)."""
+    if SOLVER == "newton":
+        return step_newton(scene, state, ctrl, dt, regrasp=regrasp, calib=calib)
+    return step_jacobi(scene, state, ctrl, dt, regrasp=regrasp, calib=calib)
+
+
+def step_jacobi(scene: Scene2D, state: State2D, ctrl: jnp.ndarray,
+                dt: float = SIM.dt, regrasp: jnp.ndarray | None = None,
+                calib: Calib | None = None) -> State2D:
     """One semi-implicit Euler step. ``ctrl`` = requested (left, right) target
     displacement (clamped to the actuator ctrlrange like MuJoCo).
 
@@ -448,6 +494,220 @@ def step(scene: Scene2D, state: State2D, ctrl: jnp.ndarray, dt: float = SIM.dt,
             om=jnp.where(regrasp, z, new.om),
             vz=jnp.where(regrasp, z, new.vz),
         )
+    return new
+
+
+NEWTON_ITERS = 8
+_LS_ALPHAS = (1.0, 0.5, 0.25)
+
+
+def step_newton(scene: Scene2D, state: State2D, ctrl: jnp.ndarray,
+                dt: float = SIM.dt, regrasp: jnp.ndarray | None = None,
+                calib: Calib | None = None,
+                return_forces: bool = False):
+    """One semi-implicit step with a coupled semi-smooth Newton contact solve.
+
+    This is MuJoCo's own convex soft-constraint formulation (Todorov 2014)
+    specialized to the 5-DOF planar system u = (vx, vy, omega, qd_l, qd_r):
+
+        u+ = argmin  1/2 (u - u_unc)^T M (u - u_unc)
+                   + sum_n 1/(2 r_n) relu(target_n - J_n u)^2        (normals)
+                   + sum_t Huber(J_t u; cap_t, r_t)                  (friction)
+
+    with per-row compliance r_i = c_r * (J_i M^-1 J_i^T) — exactly MuJoCo's
+    regularizer R = (1-d)/d * A_ii, where the calibrated ``c_r`` additionally
+    absorbs the reference's decomposition multiplicity (many overlapping geom
+    pairs per physical patch). The minimizer is found by damped Newton on the
+    piecewise-quadratic energy: 5x5 PD solves, a 3-point backtracking line
+    search, friction cone caps lagged one iteration. Unlike the Jacobi path
+    (``step_jacobi``) there is no explicit elastic term and no global energy
+    clamp — the sustained multi-contact wedge equilibrium is the exact
+    minimizer of the energy, which is the regime that decides interaction
+    profiles. Fully differentiable for gradient calibration."""
+    if calib is None:
+        calib = default_calib()
+    g = GRIPPER_2D
+    m, inertia, fm = scene.mass, scene.inertia, scene.finger_mass
+    inv_m, inv_i, inv_fm = 1.0 / m, 1.0 / inertia, 1.0 / fm
+
+    rot, r, pts_w, vel_pts = _point_kinematics(scene, state)
+    depth, n, act = _finger_contacts(scene, state, pts_w, vel_pts, r)
+
+    t = jnp.stack([-n[..., 1], n[..., 0]], axis=-1)           # (2, P, 2)
+    rxn = r[None, :, 0] * n[..., 1] - r[None, :, 1] * n[..., 0]
+    rxt = r[None, :, 0] * t[..., 1] - r[None, :, 1] * t[..., 0]
+    inv_fm_c = inv_fm[:, None]
+    a_nn = inv_m + rxn * rxn * inv_i + n[..., 1] ** 2 * inv_fm_c   # (2, P)
+    a_tt = inv_m + rxt * rxt * inv_i + t[..., 1] ** 2 * inv_fm_c
+    w_n = act / (calib.c_r * a_nn)        # stick stiffness [mass units]
+    w_t = act / (calib.c_r * a_tt)
+    m_eff_t = 1.0 / a_tt
+
+    # constraint Jacobians (2, P, 5): d(v_rel · dir)/du
+    e_l = jnp.array([1.0, 0.0], jnp.float32)[:, None]
+    e_r = jnp.array([0.0, 1.0], jnp.float32)[:, None]
+    Jn = jnp.stack([
+        n[..., 0], n[..., 1], rxn, -n[..., 1] * e_l, -n[..., 1] * e_r,
+    ], axis=-1)
+    Jt = jnp.stack([
+        t[..., 0], t[..., 1], rxt, -t[..., 1] * e_l, -t[..., 1] * e_r,
+    ], axis=-1)
+
+    u0 = jnp.concatenate([state.vel, state.om[None], state.qd])
+    d_imp = IMPEDANCE
+    vn0 = jnp.einsum("spk,k->sp", Jn, u0, precision="highest")
+    target = (1.0 - d_imp * calib.b_contact * dt) * vn0 \
+        + d_imp * dt * calib.k_contact * depth
+    depth_el = act * jnp.clip(depth, 0.0, DEPTH_EL_CAP)
+    # Crack-capture / rim-fan entrainment: a corner that has dug into the
+    # decomposition is held by crack-wall forces measured to GROW with depth
+    # (7.6 N at 1.3 mm vs 0.5 N at 0.4 mm in the MuJoCo contact dump,
+    # scripts/diag_torque_2d.py) — no saturation. The large bilateral
+    # tangential capacity entrains the corner with the advancing finger
+    # (a pivot), which is what produces MuJoCo's sustained snap torque
+    # rather than a single impulsive kick.
+    cap_rough = calib.rough * m_eff_t * depth_el
+
+    # plane support rows (normal handled by the explicit z penalty)
+    depth_z = (SIM.plane_z) - state.zb
+    n_total = m * jnp.maximum(K_PLANE * depth_z - B_PLANE * state.vz, 0.0)
+    rs = (scene.support_pts - scene.com) @ rot.T              # (S, 2)
+    a_s = inv_m + jnp.sum(rs * rs, -1) * inv_i * 0.5          # isotropic avg
+    w_s = 1.0 / (calib.c_r * a_s)                             # (S,)
+    w_w = inertia / calib.c_r                                 # torsion row
+
+    Mdiag = jnp.concatenate([jnp.stack([m, m, inertia]), fm])
+    ctrl_c = jnp.clip(
+        ctrl, jnp.array([0.0, -g.ctrl_clamped]), jnp.array([g.ctrl_clamped, 0.0])
+    )
+    f_fing = g.kp * (ctrl_c - state.q) - g.joint_damping * state.qd
+    u_unc = u0 + dt * jnp.concatenate([jnp.zeros(3, jnp.float32),
+                                       f_fing * inv_fm])
+
+    mg_dt = jnp.maximum(m * SIM.gravity * dt, 1e-9)
+
+    def caps_from(u):
+        vn = jnp.einsum("spk,k->sp", Jn, u, precision="highest")
+        lam_n = w_n * jnp.maximum(target - vn, 0.0)
+        cap_t = calib.mu_finger * lam_n + cap_rough
+        grip_ratio = jnp.sum(lam_n) / mg_dt
+        n_i = scene.support_w * n_total / (1.0 + calib.unload * grip_ratio)
+        cap_s = calib.mu_plane * n_i * dt
+        cap_w = calib.mu_torsion * jnp.sum(n_i) * dt
+        return cap_t, cap_s, cap_w
+
+    def hub(v, w, cap):
+        """Huber potential: quadratic stick, linear slip."""
+        q = 0.5 * w * v * v
+        lin = cap * jnp.abs(v) - 0.5 * cap * cap / jnp.maximum(w, 1e-12)
+        return jnp.where(w * jnp.abs(v) <= cap, q, lin)
+
+    def plane_vel(u):
+        vsx = u[0] - rs[:, 1] * u[2]
+        vsy = u[1] + rs[:, 0] * u[2]
+        return vsx, vsy, jnp.sqrt(vsx * vsx + vsy * vsy + 1e-16)
+
+    def energy(u, cap_t, cap_s, cap_w):
+        vn = jnp.einsum("spk,k->sp", Jn, u, precision="highest")
+        vt = jnp.einsum("spk,k->sp", Jt, u, precision="highest")
+        e_n = 0.5 * w_n * jnp.maximum(target - vn, 0.0) ** 2
+        e_t = hub(vt, w_t, cap_t)
+        _, _, vs = plane_vel(u)
+        e_s = hub(vs, w_s, cap_s)
+        e_w = hub(u[2], w_w, cap_w)
+        e_u = 0.5 * jnp.sum(Mdiag * (u - u_unc) ** 2)
+        return e_u + jnp.sum(e_n) + jnp.sum(e_t) + jnp.sum(e_s) + e_w
+
+    def newton_iter(u, _):
+        cap_t, cap_s, cap_w = caps_from(u)
+        vn = jnp.einsum("spk,k->sp", Jn, u, precision="highest")
+        vt = jnp.einsum("spk,k->sp", Jt, u, precision="highest")
+        res_n = jnp.maximum(target - vn, 0.0)
+        lam_n = w_n * res_n                                    # >= 0
+        lam_t = jnp.clip(w_t * vt, -cap_t, cap_t)              # opposing force
+        vsx, vsy, vs = plane_vel(u)
+        fac_s = jnp.minimum(w_s, cap_s / vs)                   # (S,)
+        f_w = jnp.clip(w_w * u[2], -cap_w, cap_w)
+
+        grad = Mdiag * (u - u_unc)
+        grad = grad - jnp.einsum("sp,spk->k", lam_n, Jn, precision="highest")
+        grad = grad + jnp.einsum("sp,spk->k", lam_t, Jt, precision="highest")
+        fx, fy = fac_s * vsx, fac_s * vsy
+        grad = grad + jnp.stack([
+            jnp.sum(fx), jnp.sum(fy),
+            jnp.sum(rs[:, 0] * fy - rs[:, 1] * fx) + f_w,
+            jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+        ])
+
+        on_n = w_n * (res_n > 0.0)
+        on_t = w_t * (jnp.abs(w_t * vt) <= cap_t)
+        H = jnp.diag(Mdiag)
+        H = H + jnp.einsum("sp,spi,spj->ij", on_n, Jn, Jn,
+                           precision="highest")
+        H = H + jnp.einsum("sp,spi,spj->ij", on_t, Jt, Jt,
+                           precision="highest")
+        # plane rows (isotropic Gauss-Newton curvature fac_s)
+        Hs00 = jnp.sum(fac_s)
+        Hs02 = jnp.sum(fac_s * (-rs[:, 1]))
+        Hs12 = jnp.sum(fac_s * rs[:, 0])
+        Hs22 = jnp.sum(fac_s * jnp.sum(rs * rs, -1)) \
+            + w_w * (jnp.abs(w_w * u[2]) <= cap_w)
+        Hp = jnp.zeros((5, 5), jnp.float32)
+        Hp = Hp.at[0, 0].set(Hs00).at[1, 1].set(Hs00).at[2, 2].set(Hs22)
+        Hp = Hp.at[0, 2].set(Hs02).at[2, 0].set(Hs02)
+        Hp = Hp.at[1, 2].set(Hs12).at[2, 1].set(Hs12)
+        H = H + Hp
+
+        delta = jnp.linalg.solve(H, -grad)
+        cands = jnp.stack([u + a * delta for a in _LS_ALPHAS] + [u])
+        evals = jax.vmap(lambda uu: energy(uu, cap_t, cap_s, cap_w))(cands)
+        u_new = cands[jnp.argmin(evals)]
+        return u_new, None
+
+    u, _ = jax.lax.scan(newton_iter, u_unc, None, length=NEWTON_ITERS)
+
+    vel, om, qd = u[:2], u[2], u[3:]
+    vz = state.vz + dt * (-SIM.gravity + n_total * inv_m)
+
+    if return_forces:
+        cap_t, cap_s, cap_w = caps_from(u)
+        vn_f = jnp.einsum("spk,k->sp", Jn, u, precision="highest")
+        vt_f = jnp.einsum("spk,k->sp", Jt, u, precision="highest")
+        lam_n = w_n * jnp.maximum(target - vn_f, 0.0)
+        lam_t = jnp.clip(w_t * vt_f, -cap_t, cap_t)
+        vsx, vsy, vs = plane_vel(u)
+        fac_s = jnp.minimum(w_s, cap_s / vs)
+        diag = {
+            "lam_n": lam_n, "lam_t": lam_t,          # (2, P) impulses
+            "torque_fing": jnp.sum(lam_n * rxn - lam_t * rxt) / dt,
+            "torque_plane": -jnp.sum(
+                fac_s * (rs[:, 0] * vsy - rs[:, 1] * vsx)) / dt,
+            "n_active": act.sum(),
+            "depth": depth, "act": act,
+        }
+
+    new = State2D(
+        com=state.com + dt * vel,
+        theta=state.theta + dt * om,
+        vel=vel,
+        om=om,
+        zb=state.zb + dt * vz,
+        vz=vz,
+        q=state.q + dt * qd,
+        qd=qd,
+    )
+    if regrasp is not None:
+        zero2 = jnp.zeros(2, jnp.float32)
+        z = jnp.zeros((), jnp.float32)
+        new = new.replace(
+            q=jnp.where(regrasp, zero2, new.q),
+            qd=jnp.where(regrasp, zero2, new.qd),
+            vel=jnp.where(regrasp, zero2, new.vel),
+            om=jnp.where(regrasp, z, new.om),
+            vz=jnp.where(regrasp, z, new.vz),
+        )
+    if return_forces:
+        return new, diag
     return new
 
 

@@ -51,6 +51,7 @@ def default_calib3() -> Calib:
         b_contact=f32(B_CONTACT * K_MULT3),
         unload=f32(UNLOAD3),
         rough=f32(ROUGH3),
+        c_r=f32(0.0526),   # used by the 2D Newton solver only (shared pytree)
     )
 
 
@@ -218,7 +219,27 @@ def init_state(scene: Scene3D, pose: jnp.ndarray) -> State3D:
     )
 
 
+# contact solver selection, like engine2d.SOLVER (read at trace time)
+SOLVER3 = "jacobi"
+
+
 def step(
+    scene: Scene3D,
+    state: State3D,
+    ctrl: jnp.ndarray,
+    dt: float = SIM.dt,
+    regrasp: jnp.ndarray | None = None,
+    solver_iters: int = SOLVER_ITERS,
+    calib: Calib | None = None,
+) -> State3D:
+    if SOLVER3 == "newton":
+        return step_newton3(scene, state, ctrl, dt, regrasp=regrasp,
+                            calib=calib)
+    return step_jacobi3(scene, state, ctrl, dt, regrasp=regrasp,
+                        solver_iters=solver_iters, calib=calib)
+
+
+def step_jacobi3(
     scene: Scene3D,
     state: State3D,
     ctrl: jnp.ndarray,
@@ -405,6 +426,198 @@ def step(
     (vel, om, qd, lam_n, lam_t), _ = jax.lax.scan(
         solve, (vel, om, qd, lam_n, lam_t), None, length=solver_iters
     )
+
+    new = State3D(
+        pos=state.pos + dt * vel,
+        quat=quat_integrate(state.quat, om, dt),
+        vel=vel,
+        om=om,
+        q=state.q + dt * qd,
+        qd=qd,
+    )
+    if regrasp is not None:
+        zero2 = jnp.zeros(2, jnp.float32)
+        zero3 = jnp.zeros(3, jnp.float32)
+        new = new.replace(
+            q=jnp.where(regrasp, zero2, new.q),
+            qd=jnp.where(regrasp, zero2, new.qd),
+            vel=jnp.where(regrasp, zero3, new.vel),
+            om=jnp.where(regrasp, zero3, new.om),
+        )
+    return new
+
+
+NEWTON_ITERS3 = 8
+_LS_ALPHAS3 = (1.0, 0.5, 0.25)
+
+
+def step_newton3(
+    scene: Scene3D,
+    state: State3D,
+    ctrl: jnp.ndarray,
+    dt: float = SIM.dt,
+    regrasp: jnp.ndarray | None = None,
+    calib: Calib | None = None,
+) -> State3D:
+    """Coupled semi-smooth Newton step on the 8-DOF system u = (v, omega, qd).
+
+    3D counterpart of ``engine2d.step_newton`` — MuJoCo's convex
+    soft-constraint energy minimized exactly (8x8 PD solves + line search)
+    instead of the mass-split Jacobi approximation: normals as one-sided
+    quadratics with compliance r_i = c_r * A_ii, friction as vector Huber
+    potentials in the contact tangent plane (cone caps lagged one iteration),
+    plane-row caps scaled by the mean-field unload gain. No explicit elastic
+    term, no global energy clamp."""
+    if calib is None:
+        calib = default_calib3()
+    g = GRIPPER_3D
+    m, fm = scene.mass, scene.finger_mass
+    inv_m, inv_fm = 1.0 / m, 1.0 / fm
+    rot = quat_to_mat(state.quat)
+    inv_i = rot @ scene.inv_inertia @ rot.T
+    i_w = rot @ scene.inertia @ rot.T
+
+    r = (scene.points - scene.com) @ rot.T                   # (P, 3)
+    pw = state.pos + r
+    x, y, z = pw[:, 0], pw[:, 1], pw[:, 2]
+    in_dom = (
+        (x >= g.ctrl_x_min) & (x <= g.ctrl_x_max)
+        & (z >= g.ctrl_z_min) & (z <= g.ctrl_z_max)
+    )
+    xc = jnp.clip(x, g.ctrl_x_min, g.ctrl_x_max)
+    zc = jnp.clip(z, g.ctrl_z_min, g.ctrl_z_max)
+    hl = _bilerp(scene.hgrid[0], xc, zc)
+    hr = _bilerp(scene.hgrid[1], xc, zc)
+    f_l, sx_l, sz_l = hl[:, 0], hl[:, 1], hl[:, 2]
+    f_r, sx_r, sz_r = hr[:, 0], hr[:, 1], hr[:, 2]
+    surf_l = -g.jaw_offset + state.q[0] + f_l + g.width
+    surf_r = g.jaw_offset + state.q[1] + f_r
+    inv_nl = jax.lax.rsqrt(1.0 + sx_l**2 + sz_l**2)
+    inv_nr = jax.lax.rsqrt(1.0 + sx_r**2 + sz_r**2)
+    n_l = jnp.stack([-sx_l, jnp.ones_like(sx_l), -sz_l], -1) * inv_nl[:, None]
+    n_r = jnp.stack([sx_r, -jnp.ones_like(sx_r), sz_r], -1) * inv_nr[:, None]
+    depth_l = (surf_l - y) * inv_nl
+    depth_r = (y - surf_r) * inv_nr
+    act_l = ((depth_l > 0.0) & in_dom).astype(jnp.float32)
+    act_r = ((depth_r > 0.0) & in_dom).astype(jnp.float32)
+    depth_p = SIM.plane_z - z
+    act_p = (depth_p > 0.0).astype(jnp.float32)
+
+    depth = jnp.stack([depth_l, depth_r, depth_p])           # (3, P)
+    n = jnp.stack(
+        [n_l, n_r, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), n_l.shape)]
+    )
+    act = jnp.stack([act_l, act_r, act_p])
+
+    # velocity map G: u (8,) -> vrel (3,) per row x point
+    P = r.shape[0]
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (3, P, 3, 3))
+    rx, ry, rz = r[:, 0], r[:, 1], r[:, 2]
+    zz = jnp.zeros_like(rx)
+    nskew = jnp.stack([
+        jnp.stack([zz, rz, -ry], -1),
+        jnp.stack([-rz, zz, rx], -1),
+        jnp.stack([ry, -rx, zz], -1),
+    ], -2)                                                    # (P, 3, 3) = -skew(r)
+    nskew = jnp.broadcast_to(nskew, (3, P, 3, 3))
+    e_y = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    fing = jnp.stack([
+        jnp.stack([-e_y, jnp.zeros(3)], -1),                  # row 0: qd_l
+        jnp.stack([jnp.zeros(3), -e_y], -1),                  # row 1: qd_r
+        jnp.zeros((3, 2)),                                    # plane row
+    ])                                                        # (3, 3, 2)
+    fing = jnp.broadcast_to(fing[:, None], (3, P, 3, 2))
+    G = jnp.concatenate([eye3, nskew, fing], axis=-1)         # (3, P, 3, 8)
+    Jn = jnp.einsum("cpi,cpik->cpk", n, G, precision="highest")
+
+    rxn = jnp.cross(jnp.broadcast_to(r, n.shape), n)
+    ang = jnp.einsum("cpi,ij,cpj->cp", rxn, inv_i, rxn, precision="highest")
+    fing_inv = jnp.stack(
+        [n_l[:, 1] ** 2 * inv_fm[0], n_r[:, 1] ** 2 * inv_fm[1],
+         jnp.zeros_like(depth_p)]
+    )
+    a_nn = inv_m + ang + fing_inv
+    w_n = act / (calib.c_r * a_nn)
+    w_t = w_n                                                 # PGS shortcut
+
+    k_c = jnp.stack([calib.k_contact, calib.k_contact,
+                     jnp.float32(K_PLANE3)])[:, None]
+    b_c = jnp.stack([calib.b_contact, calib.b_contact,
+                     jnp.float32(B_PLANE3)])[:, None]
+    u0 = jnp.concatenate([state.vel, state.om, state.qd])
+    vn0 = jnp.einsum("cpk,k->cp", Jn, u0, precision="highest")
+    d_imp = IMPEDANCE
+    target = (1.0 - d_imp * b_c * dt) * vn0 + d_imp * dt * k_c * depth
+
+    el_row = jnp.array([1.0, 1.0, 0.0])[:, None]
+    depth_el = el_row * act * jnp.clip(depth, 0.0, DEPTH_EL_CAP)
+    m_eff = 1.0 / a_nn
+    # depth-proportional crack-capture capacity (see engine2d.step_newton)
+    cap_rough = calib.rough * m_eff * depth_el
+
+    ctrl_c = jnp.clip(
+        ctrl, jnp.array([0.0, -g.ctrl_clamped]), jnp.array([g.ctrl_clamped, 0.0])
+    )
+    f_fing = g.kp * (ctrl_c - state.q) - g.joint_damping * state.qd
+    u_unc = u0 + dt * jnp.concatenate([
+        jnp.array([0.0, 0.0, -SIM.gravity]), jnp.zeros(3), f_fing * inv_fm,
+    ])
+
+    hm = jnp.zeros((8, 8), jnp.float32)
+    hm = hm.at[:3, :3].set(m * jnp.eye(3))
+    hm = hm.at[3:6, 3:6].set(i_w)
+    hm = hm.at[6:, 6:].set(jnp.diag(fm))
+    mg_dt = jnp.maximum(m * SIM.gravity * dt, 1e-9)
+
+    def forces(u):
+        vrel = jnp.einsum("cpik,k->cpi", G, u, precision="highest")
+        vn = jnp.sum(vrel * n, -1)
+        vt = vrel - vn[..., None] * n
+        res = jnp.maximum(target - vn, 0.0)
+        lam_n = w_n * res
+        grip = jnp.sum(el_row * lam_n) / mg_dt
+        scale_p = 1.0 / (1.0 + calib.unload * grip)
+        mu_row = jnp.stack([calib.mu_finger, calib.mu_finger,
+                            calib.mu_plane * scale_p])[:, None]
+        cap_t = mu_row * lam_n + cap_rough
+        vt_norm = jnp.sqrt(jnp.sum(vt * vt, -1) + 1e-16)
+        fac = jnp.minimum(w_t, cap_t / vt_norm)
+        return vrel, vn, vt, res, lam_n, cap_t, vt_norm, fac
+
+    def energy(u, cap_t):
+        vrel = jnp.einsum("cpik,k->cpi", G, u, precision="highest")
+        vn = jnp.sum(vrel * n, -1)
+        vt = vrel - vn[..., None] * n
+        res = jnp.maximum(target - vn, 0.0)
+        e_n = 0.5 * w_n * res * res
+        vt_norm = jnp.sqrt(jnp.sum(vt * vt, -1) + 1e-16)
+        q_br = 0.5 * w_t * vt_norm**2
+        lin = cap_t * vt_norm - 0.5 * cap_t**2 / jnp.maximum(w_t, 1e-12)
+        e_t = jnp.where(w_t * vt_norm <= cap_t, q_br, lin)
+        du = u - u_unc
+        e_u = 0.5 * du @ (hm @ du)
+        return e_u + jnp.sum(e_n) + jnp.sum(e_t)
+
+    def newton_iter(u, _):
+        vrel, vn, vt, res, lam_n, cap_t, vt_norm, fac = forces(u)
+        f_t = fac[..., None] * vt
+        grad = hm @ (u - u_unc)
+        grad = grad - jnp.einsum("cp,cpk->k", lam_n, Jn, precision="highest")
+        grad = grad + jnp.einsum("cpi,cpik->k", f_t, G, precision="highest")
+        on_n = w_n * (res > 0.0)
+        H = hm + jnp.einsum("cp,cpk,cpl->kl", on_n, Jn, Jn,
+                            precision="highest")
+        H = H + jnp.einsum("cp,cpik,cpil->kl", fac, G, G,
+                           precision="highest")
+        H = H - jnp.einsum("cp,cpk,cpl->kl", fac, Jn, Jn,
+                           precision="highest")
+        delta = jnp.linalg.solve(H, -grad)
+        cands = jnp.stack([u + a * delta for a in _LS_ALPHAS3] + [u])
+        evals = jax.vmap(lambda uu: energy(uu, cap_t))(cands)
+        return cands[jnp.argmin(evals)], None
+
+    u, _ = jax.lax.scan(newton_iter, u_unc, None, length=NEWTON_ITERS3)
+    vel, om, qd = u[:3], u[3:6], u[6:]
 
     new = State3D(
         pos=state.pos + dt * vel,

@@ -153,8 +153,9 @@ class Oracle3D:
         self._obj_adr = self.model.joint(jnames.index("object_root")).qposadr[0]
 
     def rollout(self, x0: float, y0: float, theta0: float,
-                steps: int = SIM.steps_3d):
-        """Returns (delta_theta, delta_pos (3,), final_theta, upright)."""
+                steps: int = SIM.steps_3d, trace: bool = False):
+        """Returns (delta_theta, delta_pos (3,), final_theta, upright)
+        [+ per-step qpos trace]."""
         mujoco, d, adr = self._mujoco, self.data, self._obj_adr
         d.qpos[:] = self._reset_qpos
         d.qvel[:] = 0.0
@@ -165,14 +166,18 @@ class Oracle3D:
         ]
         mujoco.mj_forward(self.model, d)
         d.ctrl[0], d.ctrl[1] = SIM.ctrl_3d, -SIM.ctrl_3d
+        traj = []
         for _ in range(steps):
             mujoco.mj_step(self.model, d)
+            if trace:
+                traj.append(d.qpos.copy())
         quat = d.qpos[adr + 3 : adr + 7]
         theta = (2.0 * np.arctan2(quat[3], quat[0])) % (2 * np.pi)
         delta = (theta - theta0 + np.pi) % (2 * np.pi) - np.pi
         dpos = d.qpos[adr : adr + 3] - [x0, y0, 0.0]
         upright = abs(quat[1]) < SIM.tipover_atol and abs(quat[2]) < SIM.tipover_atol
-        return float(delta), np.asarray(dpos), float(theta), bool(upright)
+        out = (float(delta), np.asarray(dpos), float(theta), bool(upright))
+        return out + ((np.asarray(traj),) if trace else ())
 
     def body_mass(self, name: str) -> float:
         return float(self.model.body(name).mass[0])

@@ -107,7 +107,11 @@ def main():
     ap.add_argument("--init_rough", type=float, default=30.0)
     ap.add_argument("--init_json", type=str, default=None,
                     help="warm-start from a previous calib2d.json 'fitted'")
+    ap.add_argument("--solver", default=None, choices=("jacobi", "newton"))
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.solver:
+        engine2d.SOLVER = args.solver
     os.makedirs(OUT, exist_ok=True)
 
     scenes, ths, mj, steps, mj_alt = load_suite()
@@ -236,7 +240,7 @@ def main():
         "n_cases": int(n_cases),
         "opt_steps": args.opt_steps,
     }
-    with open(os.path.join(OUT, "calib2d.json"), "w") as f:
+    with open(args.out or os.path.join(OUT, "calib2d.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1), flush=True)
 

@@ -74,7 +74,11 @@ def main():
     ap.add_argument("--init_unload", type=float, default=0.3)
     ap.add_argument("--init_rough", type=float, default=100.0)
     ap.add_argument("--init_json", type=str, default=None)
+    ap.add_argument("--solver", default=None, choices=("jacobi", "newton"))
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.solver:
+        engine3d.SOLVER3 = args.solver
 
     scenes, ths, mj, mj_alt, mask, steps = load_suite()
     n_cases = mj.shape[0]
@@ -197,7 +201,7 @@ def main():
         "before": before, "after": after,
         "n_cases": int(n_cases), "opt_steps": args.opt_steps,
     }
-    with open(os.path.join(OUT, "calib3d.json"), "w") as f:
+    with open(args.out or os.path.join(OUT, "calib3d.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1), flush=True)
 
