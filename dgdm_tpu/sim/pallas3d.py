@@ -82,6 +82,7 @@ def _rollout3d_kernel(
     solver_iters: int,
     ctrl_mag: float,
     snapshot_step: int,
+    solver: str = "jacobi",
 ):
     g = GRIPPER_3D
     x0f, x1f = g.ctrl_x_min, g.ctrl_x_max
@@ -107,6 +108,14 @@ def _rollout3d_kernel(
     b_cal = scal_ref[0, 0, 15]
     unload = scal_ref[0, 0, 16]
     rough = scal_ref[0, 0, 17]
+    # body inertia upper-tri + compliance scale (Newton solver only)
+    ib00 = scal_ref[0, 0, 18]
+    ib11 = scal_ref[0, 0, 19]
+    ib22 = scal_ref[0, 0, 20]
+    ib01 = scal_ref[0, 0, 21]
+    ib02 = scal_ref[0, 0, 22]
+    ib12 = scal_ref[0, 0, 23]
+    c_r = scal_ref[0, 0, 24]
     inv_m = 1.0 / mass
     inv_fml, inv_fmr = 1.0 / fmass_l, 1.0 / fmass_r
 
@@ -257,129 +266,373 @@ def _rollout3d_kernel(
         tgt_f = (1.0 - d_imp * bc * dt) * vn_f0 + d_imp * dt * kc * depth_f
         tgt_p = (1.0 - d_imp * bp_ * dt) * vn_p0 + d_imp * dt * kp_ * depth_p
 
-        # explicit elastic wedge on finger contacts (engine3d.step), with the
-        # global energy clamp on the summed wrench
-        depth_el = act_f * jnp.clip(depth_f, 0.0, DEPTH_EL_CAP)
-        v_cap = d_imp * dt * k_cal * depth_el
-        dv_el = act_f * jnp.clip(
-            d_imp * dt * (k_cal * depth_el - b_cal * vn_f0),
-            0.0,
-            jnp.maximum(v_cap - vn_f0, 0.0),
-        )
-        imp0 = me_f * dv_el                           # (P, L)
-        i0x, i0y, i0z = imp0 * nfx, imp0 * nfy, imp0 * nfz
-        dvx_u = jnp.sum(i0x, 0, keepdims=True) * inv_m
-        dvy_u = jnp.sum(i0y, 0, keepdims=True) * inv_m
-        dvz_u = jnp.sum(i0z, 0, keepdims=True) * inv_m
-        tqx_u = jnp.sum(ry * i0z - rz * i0y, 0, keepdims=True)
-        tqy_u = jnp.sum(rz * i0x - rx * i0z, 0, keepdims=True)
-        tqz_u = jnp.sum(rx * i0y - ry * i0x, 0, keepdims=True)
-        dox_u, doy_u, doz_u = wmul(tqx_u, tqy_u, tqz_u)
-        dqdl_u = -jnp.sum(is_lf * i0y, 0, keepdims=True) * inv_fml
-        dqdr_u = -jnp.sum((1.0 - is_lf) * i0y, 0, keepdims=True) * inv_fmr
-        dqd_pt = jnp.where(is_l, dqdl_u, dqdr_u)
-        dvn_ind = (
-            (dvx_u + doy_u * rz - doz_u * ry) * nfx
-            + (dvy_u + doz_u * rx - dox_u * rz - dqd_pt) * nfy
-            + (dvz_u + dox_u * ry - doy_u * rx) * nfz
-        )
-        headroom = jnp.maximum(v_cap - vn_f0, 0.0)
-        take_el = (dv_el > 0) & (dvn_ind > 1e-9)
-        denom = jnp.where(take_el, dvn_ind, 1.0)
-        s_el = jnp.clip(
-            jnp.min(jnp.where(take_el, headroom / denom,
-                              jnp.float32(jnp.inf)), 0, keepdims=True),
-            0.0, 1.0,
-        )
-        imp_el = s_el * imp0                          # (P, L)
-        grip_ratio = jnp.sum(imp_el, 0, keepdims=True) / (
-            dt * mass * jnp.float32(SIM.gravity)
-        )
-        plane_scale = 1.0 / (1.0 + unload * grip_ratio)
-        rough_cap = rough * me_f * jnp.minimum(depth_el, ROUGH_SAT)
+        if solver == "jacobi":
+            # explicit elastic wedge on finger contacts (engine3d.step), with the
+            # global energy clamp on the summed wrench
+            depth_el = act_f * jnp.clip(depth_f, 0.0, DEPTH_EL_CAP)
+            v_cap = d_imp * dt * k_cal * depth_el
+            dv_el = act_f * jnp.clip(
+                d_imp * dt * (k_cal * depth_el - b_cal * vn_f0),
+                0.0,
+                jnp.maximum(v_cap - vn_f0, 0.0),
+            )
+            imp0 = me_f * dv_el                           # (P, L)
+            i0x, i0y, i0z = imp0 * nfx, imp0 * nfy, imp0 * nfz
+            dvx_u = jnp.sum(i0x, 0, keepdims=True) * inv_m
+            dvy_u = jnp.sum(i0y, 0, keepdims=True) * inv_m
+            dvz_u = jnp.sum(i0z, 0, keepdims=True) * inv_m
+            tqx_u = jnp.sum(ry * i0z - rz * i0y, 0, keepdims=True)
+            tqy_u = jnp.sum(rz * i0x - rx * i0z, 0, keepdims=True)
+            tqz_u = jnp.sum(rx * i0y - ry * i0x, 0, keepdims=True)
+            dox_u, doy_u, doz_u = wmul(tqx_u, tqy_u, tqz_u)
+            dqdl_u = -jnp.sum(is_lf * i0y, 0, keepdims=True) * inv_fml
+            dqdr_u = -jnp.sum((1.0 - is_lf) * i0y, 0, keepdims=True) * inv_fmr
+            dqd_pt = jnp.where(is_l, dqdl_u, dqdr_u)
+            dvn_ind = (
+                (dvx_u + doy_u * rz - doz_u * ry) * nfx
+                + (dvy_u + doz_u * rx - dox_u * rz - dqd_pt) * nfy
+                + (dvz_u + dox_u * ry - doy_u * rx) * nfz
+            )
+            headroom = jnp.maximum(v_cap - vn_f0, 0.0)
+            take_el = (dv_el > 0) & (dvn_ind > 1e-9)
+            denom = jnp.where(take_el, dvn_ind, 1.0)
+            s_el = jnp.clip(
+                jnp.min(jnp.where(take_el, headroom / denom,
+                                  jnp.float32(jnp.inf)), 0, keepdims=True),
+                0.0, 1.0,
+            )
+            imp_el = s_el * imp0                          # (P, L)
+            grip_ratio = jnp.sum(imp_el, 0, keepdims=True) / (
+                dt * mass * jnp.float32(SIM.gravity)
+            )
+            plane_scale = 1.0 / (1.0 + unload * grip_ratio)
+            rough_cap = rough * me_f * jnp.minimum(depth_el, ROUGH_SAT)
 
-        # unconstrained update (elastic wedge applied)
-        f_l = g.kp * (ctrl_l - ql) - g.joint_damping * qdl
-        f_r = g.kp * (-ctrl_l - qr) - g.joint_damping * qdr
-        vx = vx + s_el * dvx_u
-        vy = vy + s_el * dvy_u
-        vz = vz - dt * jnp.float32(SIM.gravity) + s_el * dvz_u
-        ox = ox + s_el * dox_u
-        oy = oy + s_el * doy_u
-        oz = oz + s_el * doz_u
-        qdl = qdl + dt * f_l * inv_fml + s_el * dqdl_u
-        qdr = qdr + dt * f_r * inv_fmr + s_el * dqdr_u
+            # unconstrained update (elastic wedge applied)
+            f_l = g.kp * (ctrl_l - ql) - g.joint_damping * qdl
+            f_r = g.kp * (-ctrl_l - qr) - g.joint_damping * qdr
+            vx = vx + s_el * dvx_u
+            vy = vy + s_el * dvy_u
+            vz = vz - dt * jnp.float32(SIM.gravity) + s_el * dvz_u
+            ox = ox + s_el * dox_u
+            oy = oy + s_el * doy_u
+            oz = oz + s_el * doz_u
+            qdl = qdl + dt * f_l * inv_fml + s_el * dqdl_u
+            qdr = qdr + dt * f_r * inv_fmr + s_el * dqdr_u
 
-        lam = [jnp.zeros_like(depth_f) for _ in range(2)]
-        lamt = [[jnp.zeros_like(depth_f) for _ in range(3)] for _ in range(2)]
+            lam = [jnp.zeros_like(depth_f) for _ in range(2)]
+            lamt = [[jnp.zeros_like(depth_f) for _ in range(3)] for _ in range(2)]
 
-        sets = (
-            (nfx, nfy, nfz, w_f, me_f, tgt_f, 0),
-            (zero, zero + 0.0, zero + 1.0, w_p, me_p, tgt_p, 1),
-        )
+            sets = (
+                (nfx, nfy, nfz, w_f, me_f, tgt_f, 0),
+                (zero, zero + 0.0, zero + 1.0, w_p, me_p, tgt_p, 1),
+            )
 
-        def solve(j, carry):
-            (vx, vy, vz, ox, oy, oz, qdl, qdr,
-             l0, l1,
-             t0x, t0y, t0z, t1x, t1y, t1z) = carry
-            lam_n = [l0, l1]
-            lam_t = [[t0x, t0y, t0z], [t1x, t1y, t1z]]
-            for idx, (nx, ny, nz, w_c, me, tgt, which) in enumerate(sets):
-                vpx = vx + oy * rz - oz * ry
-                vpy = vy + oz * rx - ox * rz
-                vpz = vz + ox * ry - oy * rx
-                if which == 0:
-                    vpy = vpy - jnp.where(is_l, qdl, qdr)
-                vn = vpx * nx + vpy * ny + vpz * nz
-                d_n = w_c * me * (tgt - vn)
-                new_n = jnp.maximum(lam_n[idx] + d_n, 0.0)
-                dn = new_n - lam_n[idx]
-                lam_n[idx] = new_n
-                # tangential (vector) with cone clamp
-                vtx = vpx - vn * nx
-                vty = vpy - vn * ny
-                vtz = vpz - vn * nz
-                ctx = lam_t[idx][0] - w_c * me * vtx
-                cty = lam_t[idx][1] - w_c * me * vty
-                ctz = lam_t[idx][2] - w_c * me * vtz
-                if which == 0:
-                    cap = mu_finger * (new_n + imp_el) + rough_cap
-                else:
-                    cap = mu_plane * plane_scale * new_n
-                nrm = jnp.sqrt(ctx * ctx + cty * cty + ctz * ctz + 1e-20)
-                sc = jnp.minimum(1.0, cap / nrm)
-                ctx, cty, ctz = ctx * sc, cty * sc, ctz * sc
-                dtx = ctx - lam_t[idx][0]
-                dty = cty - lam_t[idx][1]
-                dtz = ctz - lam_t[idx][2]
-                lam_t[idx] = [ctx, cty, ctz]
-                ix = dn * nx + dtx
-                iy = dn * ny + dty
-                iz = dn * nz + dtz
-                vx = vx + jnp.sum(ix, 0, keepdims=True) * inv_m
-                vy = vy + jnp.sum(iy, 0, keepdims=True) * inv_m
-                vz = vz + jnp.sum(iz, 0, keepdims=True) * inv_m
-                tqx = jnp.sum(ry * iz - rz * iy, 0, keepdims=True)
-                tqy = jnp.sum(rz * ix - rx * iz, 0, keepdims=True)
-                tqz = jnp.sum(rx * iy - ry * ix, 0, keepdims=True)
-                dox, doy, doz = wmul(tqx, tqy, tqz)
-                ox, oy, oz = ox + dox, oy + doy, oz + doz
-                if which == 0:
-                    qdl = qdl - jnp.sum(is_lf * iy, 0, keepdims=True) * inv_fml
-                    qdr = qdr - jnp.sum(
-                        (1.0 - is_lf) * iy, 0, keepdims=True
-                    ) * inv_fmr
-            return (vx, vy, vz, ox, oy, oz, qdl, qdr,
-                    lam_n[0], lam_n[1],
-                    lam_t[0][0], lam_t[0][1], lam_t[0][2],
-                    lam_t[1][0], lam_t[1][1], lam_t[1][2])
+            def solve(j, carry):
+                (vx, vy, vz, ox, oy, oz, qdl, qdr,
+                 l0, l1,
+                 t0x, t0y, t0z, t1x, t1y, t1z) = carry
+                lam_n = [l0, l1]
+                lam_t = [[t0x, t0y, t0z], [t1x, t1y, t1z]]
+                for idx, (nx, ny, nz, w_c, me, tgt, which) in enumerate(sets):
+                    vpx = vx + oy * rz - oz * ry
+                    vpy = vy + oz * rx - ox * rz
+                    vpz = vz + ox * ry - oy * rx
+                    if which == 0:
+                        vpy = vpy - jnp.where(is_l, qdl, qdr)
+                    vn = vpx * nx + vpy * ny + vpz * nz
+                    d_n = w_c * me * (tgt - vn)
+                    new_n = jnp.maximum(lam_n[idx] + d_n, 0.0)
+                    dn = new_n - lam_n[idx]
+                    lam_n[idx] = new_n
+                    # tangential (vector) with cone clamp
+                    vtx = vpx - vn * nx
+                    vty = vpy - vn * ny
+                    vtz = vpz - vn * nz
+                    ctx = lam_t[idx][0] - w_c * me * vtx
+                    cty = lam_t[idx][1] - w_c * me * vty
+                    ctz = lam_t[idx][2] - w_c * me * vtz
+                    if which == 0:
+                        cap = mu_finger * (new_n + imp_el) + rough_cap
+                    else:
+                        cap = mu_plane * plane_scale * new_n
+                    nrm = jnp.sqrt(ctx * ctx + cty * cty + ctz * ctz + 1e-20)
+                    sc = jnp.minimum(1.0, cap / nrm)
+                    ctx, cty, ctz = ctx * sc, cty * sc, ctz * sc
+                    dtx = ctx - lam_t[idx][0]
+                    dty = cty - lam_t[idx][1]
+                    dtz = ctz - lam_t[idx][2]
+                    lam_t[idx] = [ctx, cty, ctz]
+                    ix = dn * nx + dtx
+                    iy = dn * ny + dty
+                    iz = dn * nz + dtz
+                    vx = vx + jnp.sum(ix, 0, keepdims=True) * inv_m
+                    vy = vy + jnp.sum(iy, 0, keepdims=True) * inv_m
+                    vz = vz + jnp.sum(iz, 0, keepdims=True) * inv_m
+                    tqx = jnp.sum(ry * iz - rz * iy, 0, keepdims=True)
+                    tqy = jnp.sum(rz * ix - rx * iz, 0, keepdims=True)
+                    tqz = jnp.sum(rx * iy - ry * ix, 0, keepdims=True)
+                    dox, doy, doz = wmul(tqx, tqy, tqz)
+                    ox, oy, oz = ox + dox, oy + doy, oz + doz
+                    if which == 0:
+                        qdl = qdl - jnp.sum(is_lf * iy, 0, keepdims=True) * inv_fml
+                        qdr = qdr - jnp.sum(
+                            (1.0 - is_lf) * iy, 0, keepdims=True
+                        ) * inv_fmr
+                return (vx, vy, vz, ox, oy, oz, qdl, qdr,
+                        lam_n[0], lam_n[1],
+                        lam_t[0][0], lam_t[0][1], lam_t[0][2],
+                        lam_t[1][0], lam_t[1][1], lam_t[1][2])
 
-        carry = (vx, vy, vz, ox, oy, oz, qdl, qdr,
-                 lam[0], lam[1],
-                 lamt[0][0], lamt[0][1], lamt[0][2],
-                 lamt[1][0], lamt[1][1], lamt[1][2])
-        carry = jax.lax.fori_loop(0, solver_iters, solve, carry)
-        (vx, vy, vz, ox, oy, oz, qdl, qdr, *_r) = carry
+            carry = (vx, vy, vz, ox, oy, oz, qdl, qdr,
+                     lam[0], lam[1],
+                     lamt[0][0], lamt[0][1], lamt[0][2],
+                     lamt[1][0], lamt[1][1], lamt[1][2])
+            carry = jax.lax.fori_loop(0, solver_iters, solve, carry)
+            (vx, vy, vz, ox, oy, oz, qdl, qdr, *_r) = carry
+        else:
+            # ---- coupled semi-smooth Newton solve (engine3d.step_newton3) --
+            # u = (vx, vy, vz, ox, oy, oz, qdl, qdr); 6 damped Newton
+            # iterations on the convex soft-constraint energy with an
+            # unrolled 8x8 Cholesky per lane and a 2-point line search.
+            # world inertia Iw = R Ib R^T (for the mass block / energy)
+            ba0 = r00 * ib00 + r01 * ib01 + r02 * ib02
+            ba1 = r00 * ib01 + r01 * ib11 + r02 * ib12
+            ba2 = r00 * ib02 + r01 * ib12 + r02 * ib22
+            bb0 = r10 * ib00 + r11 * ib01 + r12 * ib02
+            bb1 = r10 * ib01 + r11 * ib11 + r12 * ib12
+            bb2 = r10 * ib02 + r11 * ib12 + r12 * ib22
+            bc0 = r20 * ib00 + r21 * ib01 + r22 * ib02
+            bc1 = r20 * ib01 + r21 * ib11 + r22 * ib12
+            bc2 = r20 * ib02 + r21 * ib12 + r22 * ib22
+            iw00 = ba0 * r00 + ba1 * r01 + ba2 * r02
+            iw01 = ba0 * r10 + ba1 * r11 + ba2 * r12
+            iw02 = ba0 * r20 + ba1 * r21 + ba2 * r22
+            iw11 = bb0 * r10 + bb1 * r11 + bb2 * r12
+            iw12 = bb0 * r20 + bb1 * r21 + bb2 * r22
+            iw22 = bc0 * r20 + bc1 * r21 + bc2 * r22
+
+            def iwmul(tx, ty, tz):
+                return (
+                    iw00 * tx + iw01 * ty + iw02 * tz,
+                    iw01 * tx + iw11 * ty + iw12 * tz,
+                    iw02 * tx + iw12 * ty + iw22 * tz,
+                )
+
+            # Newton-specific targets use the CALIBRATED finger gains
+            tgt_fn = (1.0 - d_imp * b_cal * dt) * vn_f0 \
+                + d_imp * dt * k_cal * depth_f
+            tgt_pn = tgt_p
+            inv_fm_pt = jnp.where(is_l, inv_fml, inv_fmr)
+            w_nf = act_f * me_f / c_r
+            w_np = act_p * me_p / c_r
+            depth_eln = act_f * jnp.clip(depth_f, 0.0, DEPTH_EL_CAP)
+            # depth-proportional crack-capture capacity (engine2d notes)
+            rough_capn = rough * me_f * depth_eln
+            mg_dt = mass * jnp.float32(SIM.gravity) * dt
+
+            # finger lever cross r x n; plane lever cross r x ez = (ry,-rx,0)
+            cfx, cfy, cfz = cf[0], cf[1], cf[2]
+            sl = is_lf
+            sr = 1.0 - is_lf
+            # finger normal-row Jacobian (8-vec per point)
+            jf = (nfx, nfy, nfz, cfx, cfy, cfz, -nfy * sl, -nfy * sr)
+            jp = (zero + 0.0, zero + 0.0, zero + 1.0, ry, -rx, zero + 0.0,
+                  zero + 0.0, zero + 0.0)
+
+            f_l = g.kp * (ctrl_l - ql) - g.joint_damping * qdl
+            f_r = g.kp * (-ctrl_l - qr) - g.joint_damping * qdr
+            u_unc = [vx, vy, vz - dt * jnp.float32(SIM.gravity), ox, oy, oz,
+                     qdl + dt * f_l * inv_fml, qdr + dt * f_r * inv_fmr]
+            u = list(u_unc)
+
+            def vrel_of(u_):
+                vpx = u_[0] + u_[4] * rz - u_[5] * ry
+                vpy = u_[1] + u_[5] * rx - u_[3] * rz
+                vpz = u_[2] + u_[3] * ry - u_[4] * rx
+                qd_pt = u_[6] * sl + u_[7] * sr
+                return vpx, vpy - qd_pt, vpz, vpy
+
+            def e_quad(u_):
+                dvx_, dvy_, dvz_ = (u_[0] - u_unc[0], u_[1] - u_unc[1],
+                                    u_[2] - u_unc[2])
+                dox_, doy_, doz_ = (u_[3] - u_unc[3], u_[4] - u_unc[4],
+                                    u_[5] - u_unc[5])
+                ix_, iy_, iz_ = iwmul(dox_, doy_, doz_)
+                return 0.5 * (
+                    mass * (dvx_**2 + dvy_**2 + dvz_**2)
+                    + dox_ * ix_ + doy_ * iy_ + doz_ * iz_
+                    + fmass_l * (u_[6] - u_unc[6]) ** 2
+                    + fmass_r * (u_[7] - u_unc[7]) ** 2
+                )
+
+            def hub_sum(vn_, vt2_, w_, cap_, tgt_):
+                res = jnp.maximum(tgt_ - vn_, 0.0)
+                e_n = 0.5 * w_ * res * res
+                vt_ = jnp.sqrt(vt2_ + 1e-16)
+                q_br = 0.5 * w_ * vt2_
+                lin = cap_ * vt_ - 0.5 * cap_ * cap_ / jnp.maximum(w_, 1e-12)
+                e_t = jnp.where(w_ * vt_ <= cap_, q_br, lin)
+                return jnp.sum(e_n + e_t, 0, keepdims=True)
+
+            def energy(u_, capf_, capp_):
+                fx_, fy_, fz_, pvy_ = vrel_of(u_)
+                vnf_ = fx_ * nfx + fy_ * nfy + fz_ * nfz
+                vtf2 = ((fx_ - vnf_ * nfx) ** 2 + (fy_ - vnf_ * nfy) ** 2
+                        + (fz_ - vnf_ * nfz) ** 2)
+                vnp_ = fz_
+                vtp2 = fx_ * fx_ + pvy_ * pvy_
+                return (e_quad(u_)
+                        + hub_sum(vnf_, vtf2, w_nf, capf_, tgt_fn)
+                        + hub_sum(vnp_, vtp2, w_np, capp_, tgt_pn))
+
+            NIT = 6
+            for _it in range(NIT):
+                fx_, fy_, fz_, pvy_ = vrel_of(u)
+                vnf = fx_ * nfx + fy_ * nfy + fz_ * nfz
+                vtfx = fx_ - vnf * nfx
+                vtfy = fy_ - vnf * nfy
+                vtfz = fz_ - vnf * nfz
+                resf = jnp.maximum(tgt_fn - vnf, 0.0)
+                lamf = w_nf * resf
+                vnp = fz_
+                vtpx, vtpy = fx_, pvy_
+                resp = jnp.maximum(tgt_pn - vnp, 0.0)
+                lamp = w_np * resp
+                grip = jnp.sum(lamf, 0, keepdims=True) / mg_dt
+                scale_p = 1.0 / (1.0 + unload * grip)
+                capf = mu_finger * lamf + rough_capn
+                capp = mu_plane * scale_p * lamp
+                vtfn = jnp.sqrt(vtfx**2 + vtfy**2 + vtfz**2 + 1e-16)
+                vtpn = jnp.sqrt(vtpx**2 + vtpy**2 + 1e-16)
+                fac_f = jnp.minimum(w_nf, capf / vtfn)
+                fac_p = jnp.minimum(w_np, capp / vtpn)
+
+                # gradient (8,) of the energy at u
+                def rsum(x):
+                    return jnp.sum(x, 0, keepdims=True)
+
+                ix_, iy_, iz_ = iwmul(u[3] - u_unc[3], u[4] - u_unc[4],
+                                      u[5] - u_unc[5])
+                g0 = mass * (u[0] - u_unc[0]) - rsum(lamf * nfx) \
+                    + rsum(fac_f * vtfx + fac_p * vtpx)
+                g1 = mass * (u[1] - u_unc[1]) - rsum(lamf * nfy) \
+                    + rsum(fac_f * vtfy + fac_p * vtpy)
+                g2 = mass * (u[2] - u_unc[2]) - rsum(lamf * nfz + lamp) \
+                    + rsum(fac_f * vtfz)
+                g3 = ix_ - rsum(lamf * cfx + lamp * ry) \
+                    + rsum(fac_f * (ry * vtfz - rz * vtfy)
+                           + fac_p * (-rz * vtpy))
+                g4 = iy_ - rsum(lamf * cfy - lamp * rx) \
+                    + rsum(fac_f * (rz * vtfx - rx * vtfz)
+                           + fac_p * (rz * vtpx))
+                g5 = iz_ - rsum(lamf * cfz) \
+                    + rsum(fac_f * (rx * vtfy - ry * vtfx)
+                           + fac_p * (rx * vtpy - ry * vtpx))
+                g6 = fmass_l * (u[6] - u_unc[6]) \
+                    + rsum(sl * (lamf * nfy - fac_f * vtfy))
+                g7 = fmass_r * (u[7] - u_unc[7]) \
+                    + rsum(sr * (lamf * nfy - fac_f * vtfy))
+                grad = [g0, g1, g2, g3, g4, g5, g6, g7]
+
+                # Hessian: M + on.J(x)J + fac.(G^T G - Jn(x)Jn)
+                onf = w_nf * (resf > 0.0)
+                onp = w_np * (resp > 0.0)
+                h = [[None] * 8 for _ in range(8)]
+
+                def hset(a, b, v):
+                    h[a][b] = v
+
+                # normal outer products minus tangential-GN correction
+                cn_f = onf - fac_f
+                cn_p = onp - fac_p
+                for a in range(8):
+                    for b_ in range(a, 8):
+                        hset(a, b_, rsum(cn_f * jf[a] * jf[b_]
+                                         + cn_p * jp[a] * jp[b_]))
+                # tangential GN full-velocity blocks (shared by both rows)
+                facs = fac_f + fac_p
+                h[0][0] += rsum(facs)
+                h[1][1] += rsum(facs)
+                h[2][2] += rsum(facs)
+                h[0][4] += rsum(facs * rz)
+                h[0][5] += rsum(facs * (-ry))
+                h[1][3] += rsum(facs * (-rz))
+                h[1][5] += rsum(facs * rx)
+                h[2][3] += rsum(facs * ry)
+                h[2][4] += rsum(facs * (-rx))
+                h[3][3] += rsum(facs * (ry * ry + rz * rz))
+                h[4][4] += rsum(facs * (rx * rx + rz * rz))
+                h[5][5] += rsum(facs * (rx * rx + ry * ry))
+                h[3][4] += rsum(facs * (-rx * ry))
+                h[3][5] += rsum(facs * (-rx * rz))
+                h[4][5] += rsum(facs * (-ry * rz))
+                # finger-column blocks (finger rows only)
+                h[1][6] += rsum(fac_f * (-sl))
+                h[1][7] += rsum(fac_f * (-sr))
+                h[3][6] += rsum(fac_f * sl * rz)
+                h[5][6] += rsum(fac_f * sl * (-rx))
+                h[3][7] += rsum(fac_f * sr * rz)
+                h[5][7] += rsum(fac_f * sr * (-rx))
+                h[6][6] += rsum(fac_f * sl)
+                h[7][7] += rsum(fac_f * sr)
+                # mass block
+                h[0][0] += mass
+                h[1][1] += mass
+                h[2][2] += mass
+                h[3][3] += iw00
+                h[4][4] += iw11
+                h[5][5] += iw22
+                h[3][4] += iw01
+                h[3][5] += iw02
+                h[4][5] += iw12
+                h[6][6] += fmass_l
+                h[7][7] += fmass_r
+
+                # unrolled Cholesky H = L L^T (lower L over upper-tri h)
+                L = [[None] * 8 for _ in range(8)]
+                Ld = [None] * 8
+                for a in range(8):
+                    s_ = h[a][a]
+                    for k in range(a):
+                        s_ = s_ - L[a][k] * L[a][k]
+                    dinv = jax.lax.rsqrt(jnp.maximum(s_, 1e-12))
+                    Ld[a] = dinv
+                    L[a][a] = 1.0 / dinv
+                    for b_ in range(a + 1, 8):
+                        s2 = h[a][b_]
+                        for k in range(a):
+                            s2 = s2 - L[b_][k] * L[a][k]
+                        L[b_][a] = s2 * dinv
+                # solve L y = -grad; L^T d = y
+                yv = [None] * 8
+                for a in range(8):
+                    s_ = -grad[a]
+                    for k in range(a):
+                        s_ = s_ - L[a][k] * yv[k]
+                    yv[a] = s_ * Ld[a]
+                dv = [None] * 8
+                for a in range(7, -1, -1):
+                    s_ = yv[a]
+                    for k in range(a + 1, 8):
+                        s_ = s_ - L[k][a] * dv[k]
+                    dv[a] = s_ * Ld[a]
+
+                u1 = [u[a] + dv[a] for a in range(8)]
+                u2 = [u[a] + 0.5 * dv[a] for a in range(8)]
+                e0 = energy(u, capf, capp)
+                e1 = energy(u1, capf, capp)
+                e2 = energy(u2, capf, capp)
+                best12 = e1 <= e2
+                eb = jnp.where(best12, e1, e2)
+                take_new = eb <= e0
+                u = [jnp.where(take_new,
+                               jnp.where(best12, u1[a], u2[a]), u[a])
+                     for a in range(8)]
+
+            vx, vy, vz = u[0], u[1], u[2]
+            ox, oy, oz = u[3], u[4], u[5]
+            qdl, qdr = u[6], u[7]
 
         # integrate
         px = px + dt * vx
@@ -440,14 +693,25 @@ def _rollout3d_kernel(
     sdy_ref[0, 0, :] = (sorg_y - pose_y)[0, :]
 
 
+def profile_batch_pallas3d(*args, solver=None, **kwargs):
+    """Public entry: resolves the default contact solver from
+    ``engine3d.SOLVER3`` at call time so the kernel and the pure-JAX engine
+    switch together (tests assert their parity)."""
+    from dgdm_tpu.sim import engine3d as _e3
+
+    if solver is None:
+        solver = _e3.SOLVER3
+    return _profile_batch_pallas3d(*args, solver=solver, **kwargs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "steps", "dt", "regrasp_every", "solver_iters", "ctrl_mag",
-        "snapshot_step",
+        "snapshot_step", "solver",
     ),
 )
-def profile_batch_pallas3d(
+def _profile_batch_pallas3d(
     coefs: jnp.ndarray,    # (B, 2, N_SEG, 4, 3)
     points: jnp.ndarray,   # (B, P, 4)
     scalars: jnp.ndarray,  # (B, 1, 16)
@@ -458,6 +722,7 @@ def profile_batch_pallas3d(
     solver_iters: int = SOLVER_ITERS,
     ctrl_mag: float = SIM.ctrl_3d,
     snapshot_step: int = 0,
+    solver: str = "jacobi",
 ) -> Tuple[jnp.ndarray, ...]:
     b, p = points.shape[0], points.shape[1]
     n = poses.shape[0]
@@ -467,7 +732,7 @@ def profile_batch_pallas3d(
         _rollout3d_kernel,
         steps=steps, dt=dt, regrasp_every=regrasp_every,
         solver_iters=solver_iters, ctrl_mag=ctrl_mag,
-        snapshot_step=snapshot_step,
+        snapshot_step=snapshot_step, solver=solver,
     )
     grid = (b, n // LANE)
     out_shape = [jax.ShapeDtypeStruct((b, 1, n), jnp.float32) for _ in range(9)]
@@ -484,7 +749,7 @@ def profile_batch_pallas3d(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, 4), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 24), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, 32), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, LANE), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -528,7 +793,7 @@ def scene_arrays_3d(scenes, calib=None) -> Tuple[jnp.ndarray, ...]:
 
     if calib is None:
         calib = _e3.default_calib3()
-    scal = np.zeros((b, 1, 24), np.float32)
+    scal = np.zeros((b, 1, 32), np.float32)
     scal[:, 0, 0] = np.asarray(scenes.mass)
     scal[:, 0, 1] = np.asarray(scenes.finger_mass)[..., 0]
     scal[:, 0, 2:5] = np.asarray(scenes.com)
@@ -546,4 +811,12 @@ def scene_arrays_3d(scenes, calib=None) -> Tuple[jnp.ndarray, ...]:
     scal[:, 0, 15] = float(calib.b_contact)
     scal[:, 0, 16] = float(calib.unload)
     scal[:, 0, 17] = float(calib.rough)
+    ib = np.asarray(scenes.inertia)                 # (B, 3, 3)
+    scal[:, 0, 18] = ib[:, 0, 0]
+    scal[:, 0, 19] = ib[:, 1, 1]
+    scal[:, 0, 20] = ib[:, 2, 2]
+    scal[:, 0, 21] = ib[:, 0, 1]
+    scal[:, 0, 22] = ib[:, 0, 2]
+    scal[:, 0, 23] = ib[:, 1, 2]
+    scal[:, 0, 24] = float(calib.c_r)
     return jnp.asarray(coefs), jnp.asarray(points), jnp.asarray(scal)
