@@ -470,8 +470,8 @@ def step_jacobi3(
     return new
 
 
-NEWTON_ITERS3 = 8
-_LS_ALPHAS3 = (1.0, 0.5, 0.25)
+NEWTON_ITERS3 = 6
+_LS_ALPHAS3 = (1.0, 0.5)
 
 
 def step_newton3(
@@ -639,7 +639,19 @@ def step_newton3(
         evals = jax.vmap(lambda uu: energy(uu, cap_t))(cands)
         return cands[jnp.argmin(evals)], None
 
-    u, _ = jax.lax.scan(newton_iter, u_unc, None, length=NEWTON_ITERS3)
+    # no-finger-contact fast phase: the Pallas kernel solves the plane-row
+    # subproblem with 3 iterations during the drop/travel phase (~80% of a
+    # squeeze); with no finger contacts the full iteration reduces to exactly
+    # that subproblem, so capping the effective iteration count here keeps
+    # engine and kernel semantics aligned.
+    any_f = jnp.sum(act[:2]) > 0.0
+    nit = jnp.where(any_f, NEWTON_ITERS3, 3)
+
+    def body(u, i):
+        u2, _ = newton_iter(u, None)
+        return jnp.where(i < nit, u2, u), None
+
+    u, _ = jax.lax.scan(body, u_unc, jnp.arange(NEWTON_ITERS3))
     vel, om, qd = u[:3], u[3:6], u[6:]
 
     new = State3D(

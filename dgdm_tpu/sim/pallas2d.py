@@ -80,6 +80,7 @@ def _rollout_kernel(
     solver_iters: int,
     ctrl_mag: float,
     snapshot_step: int,
+    solver: str = "jacobi",
 ):
     g = GRIPPER_2D
     x0f, x1f = g.ctrl_x_min, g.ctrl_x_max
@@ -208,109 +209,348 @@ def _rollout_kernel(
         # calib gains drive the explicit elastic wedge term (engine2d.step)
         tgt = (1.0 - d_imp * B_CONTACT * dt) * vn0 + d_imp * dt * K_CONTACT * depth
 
-        # explicit elastic wedge impulse, clamped to the pushout velocity
-        depth_el = act * jnp.clip(depth, 0.0, DEPTH_EL_CAP)
-        v_capn = d_imp * dt * k_con * depth_el
-        dv_el = jnp.clip(
-            d_imp * dt * (k_con * depth_el - b_con * vn0),
-            0.0,
-            jnp.maximum(v_capn - vn0, 0.0),
-        )
-        imp_el = act * me_n * dv_el                  # (P, L) impulse magnitude
-        # global energy clamp on the summed elastic wrench (engine2d.step)
-        dvx_u = jnp.sum(imp_el * nx, 0, keepdims=True) * inv_m
-        dvy_u = jnp.sum(imp_el * ny, 0, keepdims=True) * inv_m
-        dom_u = jnp.sum(imp_el * rxn, 0, keepdims=True) * inv_i
-        dqdl_u = -jnp.sum(is_lf * imp_el * ny, 0, keepdims=True) * inv_fml
-        dqdr_u = -jnp.sum((1.0 - is_lf) * imp_el * ny, 0, keepdims=True) * inv_fmr
-        dqd_pt = jnp.where(is_l, dqdl_u, dqdr_u)
-        dvn_ind = (dvx_u - dom_u * ry) * nx + (dvy_u + dom_u * rx - dqd_pt) * ny
-        headroom = jnp.maximum(v_capn - vn0, 0.0)
-        ratio_el = jnp.where(
-            (act > 0) & (dvn_ind > 1e-9), headroom / (dvn_ind + 1e-9),
-            jnp.float32(jnp.inf),
-        )
-        s_el = jnp.clip(jnp.min(ratio_el, 0, keepdims=True), 0.0, 1.0)
-        imp_el = s_el * imp_el
+        if solver == "jacobi":
+            # explicit elastic wedge impulse, clamped to the pushout velocity
+            depth_el = act * jnp.clip(depth, 0.0, DEPTH_EL_CAP)
+            v_capn = d_imp * dt * k_con * depth_el
+            dv_el = jnp.clip(
+                d_imp * dt * (k_con * depth_el - b_con * vn0),
+                0.0,
+                jnp.maximum(v_capn - vn0, 0.0),
+            )
+            imp_el = act * me_n * dv_el                  # (P, L) impulse magnitude
+            # global energy clamp on the summed elastic wrench (engine2d.step)
+            dvx_u = jnp.sum(imp_el * nx, 0, keepdims=True) * inv_m
+            dvy_u = jnp.sum(imp_el * ny, 0, keepdims=True) * inv_m
+            dom_u = jnp.sum(imp_el * rxn, 0, keepdims=True) * inv_i
+            dqdl_u = -jnp.sum(is_lf * imp_el * ny, 0, keepdims=True) * inv_fml
+            dqdr_u = -jnp.sum((1.0 - is_lf) * imp_el * ny, 0, keepdims=True) * inv_fmr
+            dqd_pt = jnp.where(is_l, dqdl_u, dqdr_u)
+            dvn_ind = (dvx_u - dom_u * ry) * nx + (dvy_u + dom_u * rx - dqd_pt) * ny
+            headroom = jnp.maximum(v_capn - vn0, 0.0)
+            ratio_el = jnp.where(
+                (act > 0) & (dvn_ind > 1e-9), headroom / (dvn_ind + 1e-9),
+                jnp.float32(jnp.inf),
+            )
+            s_el = jnp.clip(jnp.min(ratio_el, 0, keepdims=True), 0.0, 1.0)
+            imp_el = s_el * imp_el
 
-        # mean-field plane unloading from the grip load (engine2d.step)
-        grip_ratio = jnp.sum(imp_el, 0, keepdims=True) / (
-            dt * mass * SIM.gravity
-        )
-        n_i = sw * n_total / (1.0 + unload * grip_ratio)   # (S, L)
+            # mean-field plane unloading from the grip load (engine2d.step)
+            grip_ratio = jnp.sum(imp_el, 0, keepdims=True) / (
+                dt * mass * SIM.gravity
+            )
+            n_i = sw * n_total / (1.0 + unload * grip_ratio)   # (S, L)
 
-        # unconstrained update (elastic wedge impulses included)
-        f_l = g.kp * (ctrl_l - ql) - g.joint_damping * qdl
-        f_r = g.kp * (ctrl_r - qr) - g.joint_damping * qdr
-        vx = vx + jnp.sum(imp_el * nx, 0, keepdims=True) * inv_m
-        vy = vy + jnp.sum(imp_el * ny, 0, keepdims=True) * inv_m
-        om = om + jnp.sum(imp_el * rxn, 0, keepdims=True) * inv_i
-        vz = vz + dt * (-SIM.gravity + n_total * inv_m)
-        qdl = (qdl + dt * f_l * inv_fml
-               - jnp.sum(is_lf * imp_el * ny, 0, keepdims=True) * inv_fml)
-        qdr = (qdr + dt * f_r * inv_fmr
-               - jnp.sum((1.0 - is_lf) * imp_el * ny, 0, keepdims=True) * inv_fmr)
+            # unconstrained update (elastic wedge impulses included)
+            f_l = g.kp * (ctrl_l - ql) - g.joint_damping * qdl
+            f_r = g.kp * (ctrl_r - qr) - g.joint_damping * qdr
+            vx = vx + jnp.sum(imp_el * nx, 0, keepdims=True) * inv_m
+            vy = vy + jnp.sum(imp_el * ny, 0, keepdims=True) * inv_m
+            om = om + jnp.sum(imp_el * rxn, 0, keepdims=True) * inv_i
+            vz = vz + dt * (-SIM.gravity + n_total * inv_m)
+            qdl = (qdl + dt * f_l * inv_fml
+                   - jnp.sum(is_lf * imp_el * ny, 0, keepdims=True) * inv_fml)
+            qdr = (qdr + dt * f_r * inv_fmr
+                   - jnp.sum((1.0 - is_lf) * imp_el * ny, 0, keepdims=True) * inv_fmr)
 
-        lam_n = jnp.zeros_like(depth)
-        lam_t = jnp.zeros_like(depth)
-        lam_sx = jnp.zeros_like(n_i)
-        lam_sy = jnp.zeros_like(n_i)
-        lam_w = jnp.zeros_like(n_i)
+            lam_n = jnp.zeros_like(depth)
+            lam_t = jnp.zeros_like(depth)
+            lam_sx = jnp.zeros_like(n_i)
+            lam_sy = jnp.zeros_like(n_i)
+            lam_w = jnp.zeros_like(n_i)
 
-        def solve(j, carry):
-            (vx, vy, om, qdl, qdr,
-             lam_n, lam_t, lam_sx, lam_sy, lam_w) = carry
-            qd_cc = jnp.where(is_l, qdl, qdr)
-            vpx = vx - om * ry
-            vpy = vy + om * rx - qd_cc
-            vn = vpx * nx + vpy * ny
-            vt = vpx * tx_ + vpy * ty_
+            def solve(j, carry):
+                (vx, vy, om, qdl, qdr,
+                 lam_n, lam_t, lam_sx, lam_sy, lam_w) = carry
+                qd_cc = jnp.where(is_l, qdl, qdr)
+                vpx = vx - om * ry
+                vpy = vy + om * rx - qd_cc
+                vn = vpx * nx + vpy * ny
+                vt = vpx * tx_ + vpy * ty_
 
-            d_n0 = w_c * me_n * (tgt - vn)
-            new_n = jnp.maximum(lam_n + d_n0, 0.0)
-            d_n = new_n - lam_n
+                d_n0 = w_c * me_n * (tgt - vn)
+                new_n = jnp.maximum(lam_n + d_n0, 0.0)
+                d_n = new_n - lam_n
 
-            cap = (mu_finger * (new_n + imp_el)
-                   + rough * me_t * jnp.minimum(depth_el, ROUGH_SAT))
-            new_t = jnp.clip(lam_t - w_c * me_t * vt, -cap, cap)
-            d_t = new_t - lam_t
+                cap = (mu_finger * (new_n + imp_el)
+                       + rough * me_t * jnp.minimum(depth_el, ROUGH_SAT))
+                new_t = jnp.clip(lam_t - w_c * me_t * vt, -cap, cap)
+                d_t = new_t - lam_t
 
-            imp_x = d_n * nx + d_t * tx_
-            imp_y = d_n * ny + d_t * ty_
-            vx = vx + jnp.sum(imp_x, 0, keepdims=True) * inv_m
-            vy = vy + jnp.sum(imp_y, 0, keepdims=True) * inv_m
-            om = om + jnp.sum(d_n * rxn + d_t * rxt, 0, keepdims=True) * inv_i
-            qdl = qdl - jnp.sum(is_lf * imp_y, 0, keepdims=True) * inv_fml
-            qdr = qdr - jnp.sum((1.0 - is_lf) * imp_y, 0, keepdims=True) * inv_fmr
+                imp_x = d_n * nx + d_t * tx_
+                imp_y = d_n * ny + d_t * ty_
+                vx = vx + jnp.sum(imp_x, 0, keepdims=True) * inv_m
+                vy = vy + jnp.sum(imp_y, 0, keepdims=True) * inv_m
+                om = om + jnp.sum(d_n * rxn + d_t * rxt, 0, keepdims=True) * inv_i
+                qdl = qdl - jnp.sum(is_lf * imp_y, 0, keepdims=True) * inv_fml
+                qdr = qdr - jnp.sum((1.0 - is_lf) * imp_y, 0, keepdims=True) * inv_fmr
 
-            # plane friction
-            vsx = vx - om * rsy
-            vsy = vy + om * rsx
-            nsx = lam_sx - sw * mass * vsx
-            nsy = lam_sy - sw * mass * vsy
-            cap_s = mu_plane * n_i * dt
-            nrm = jnp.sqrt(nsx * nsx + nsy * nsy + 1e-20)
-            sc = jnp.minimum(1.0, cap_s / nrm)
-            nsx = nsx * sc
-            nsy = nsy * sc
-            d_sx = nsx - lam_sx
-            d_sy = nsy - lam_sy
-            vx = vx + jnp.sum(d_sx, 0, keepdims=True) * inv_m
-            vy = vy + jnp.sum(d_sy, 0, keepdims=True) * inv_m
-            om = om + jnp.sum(rsx * d_sy - rsy * d_sx, 0, keepdims=True) * inv_i
-            cap_w = mu_torsion * n_i * dt
-            new_w = jnp.clip(lam_w - sw * inertia * om, -cap_w, cap_w)
-            d_w = new_w - lam_w
-            om = om + jnp.sum(d_w, 0, keepdims=True) * inv_i
+                # plane friction
+                vsx = vx - om * rsy
+                vsy = vy + om * rsx
+                nsx = lam_sx - sw * mass * vsx
+                nsy = lam_sy - sw * mass * vsy
+                cap_s = mu_plane * n_i * dt
+                nrm = jnp.sqrt(nsx * nsx + nsy * nsy + 1e-20)
+                sc = jnp.minimum(1.0, cap_s / nrm)
+                nsx = nsx * sc
+                nsy = nsy * sc
+                d_sx = nsx - lam_sx
+                d_sy = nsy - lam_sy
+                vx = vx + jnp.sum(d_sx, 0, keepdims=True) * inv_m
+                vy = vy + jnp.sum(d_sy, 0, keepdims=True) * inv_m
+                om = om + jnp.sum(rsx * d_sy - rsy * d_sx, 0, keepdims=True) * inv_i
+                cap_w = mu_torsion * n_i * dt
+                new_w = jnp.clip(lam_w - sw * inertia * om, -cap_w, cap_w)
+                d_w = new_w - lam_w
+                om = om + jnp.sum(d_w, 0, keepdims=True) * inv_i
 
-            return (vx, vy, om, qdl, qdr,
-                    new_n, new_t, nsx, nsy, new_w)
+                return (vx, vy, om, qdl, qdr,
+                        new_n, new_t, nsx, nsy, new_w)
 
-        (vx, vy, om, qdl, qdr, *_rest) = jax.lax.fori_loop(
-            0, solver_iters, solve,
-            (vx, vy, om, qdl, qdr,
-             lam_n, lam_t, lam_sx, lam_sy, lam_w),
-        )
+            (vx, vy, om, qdl, qdr, *_rest) = jax.lax.fori_loop(
+                0, solver_iters, solve,
+                (vx, vy, om, qdl, qdr,
+                 lam_n, lam_t, lam_sx, lam_sy, lam_w),
+            )
+        else:
+            # ---- coupled semi-smooth Newton solve (engine2d.step_newton) --
+            # u = (vx, vy, om, qdl, qdr); damped Newton on the convex
+            # soft-constraint energy, unrolled 5x5 Cholesky per lane,
+            # 2-point line search with monotone fallback.
+            c_r2 = scal_ref[0, 0, 13]
+            tgt_n = (1.0 - d_imp * b_con * dt) * vn0 \
+                + d_imp * dt * k_con * depth
+            w_nn = act * me_n / c_r2
+            w_tt = act * me_t / c_r2
+            depth_el = act * jnp.clip(depth, 0.0, DEPTH_EL_CAP)
+            # depth-proportional crack-capture capacity (engine2d notes)
+            cap_rough = rough * me_t * depth_el
+            a_s = inv_m + (rsx * rsx + rsy * rsy) * inv_i * 0.5
+            w_s = 1.0 / (c_r2 * a_s)                        # (S, L)
+            w_w = inertia / c_r2
+            sl = is_lf
+            sr = 1.0 - is_lf
+            jn = (nx, ny, rxn, -ny * sl, -ny * sr)
+            jt = (tx_, ty_, rxt, -ty_ * sl, -ty_ * sr)
+            mg_dt = mass * jnp.float32(SIM.gravity) * dt
+            mdiag = (mass, mass, inertia, fmass_l, fmass_r)
+
+            f_l = g.kp * (ctrl_l - ql) - g.joint_damping * qdl
+            f_r = g.kp * (ctrl_r - qr) - g.joint_damping * qdr
+            vz = vz + dt * (-SIM.gravity + n_total * inv_m)
+            u_unc = [vx, vy, om, qdl + dt * f_l * inv_fml,
+                     qdr + dt * f_r * inv_fmr]
+            u = list(u_unc)
+
+            def vels_of(u_):
+                qd_cc = u_[3] * sl + u_[4] * sr
+                vpx = u_[0] - u_[2] * ry
+                vpy = u_[1] + u_[2] * rx - qd_cc
+                vn_ = vpx * nx + vpy * ny
+                vt_ = vpx * tx_ + vpy * ty_
+                vsx_ = u_[0] - u_[2] * rsy
+                vsy_ = u_[1] + u_[2] * rsx
+                return vn_, vt_, vsx_, vsy_
+
+            def caps_of(u_):
+                vn_, _, _, _ = vels_of(u_)
+                lam_ = w_nn * jnp.maximum(tgt_n - vn_, 0.0)
+                grip = jnp.sum(lam_, 0, keepdims=True) / mg_dt
+                n_i_ = sw * n_total / (1.0 + unload * grip)
+                cap_t_ = mu_finger * lam_ + cap_rough
+                cap_s_ = mu_plane * n_i_ * dt
+                cap_w_ = mu_torsion * jnp.sum(n_i_, 0, keepdims=True) * dt
+                return lam_, cap_t_, cap_s_, cap_w_
+
+            def hub(v_, w_, cap_):
+                q_ = 0.5 * w_ * v_ * v_
+                lin = cap_ * jnp.abs(v_) \
+                    - 0.5 * cap_ * cap_ / jnp.maximum(w_, 1e-12)
+                return jnp.where(w_ * jnp.abs(v_) <= cap_, q_, lin)
+
+            def energy(u_, cap_t_, cap_s_, cap_w_):
+                vn_, vt_, vsx_, vsy_ = vels_of(u_)
+                res = jnp.maximum(tgt_n - vn_, 0.0)
+                e_n = jnp.sum(0.5 * w_nn * res * res + hub(vt_, w_tt, cap_t_),
+                              0, keepdims=True)
+                vs_ = jnp.sqrt(vsx_ * vsx_ + vsy_ * vsy_ + 1e-16)
+                e_s = jnp.sum(hub(vs_, w_s, cap_s_), 0, keepdims=True)
+                e_w = hub(u_[2], w_w, cap_w_)
+                e_u = 0.5 * (
+                    mass * ((u_[0] - u_unc[0]) ** 2 + (u_[1] - u_unc[1]) ** 2)
+                    + inertia * (u_[2] - u_unc[2]) ** 2
+                    + fmass_l * (u_[3] - u_unc[3]) ** 2
+                    + fmass_r * (u_[4] - u_unc[4]) ** 2
+                )
+                return e_u + e_n + e_s + e_w
+
+            def _full_solve(u0_t):
+                u = list(u0_t)
+                NIT2 = 6
+                for _it in range(NIT2):
+                    lam_nn, cap_t, cap_s, cap_w = caps_of(u)
+                    vn_, vt_, vsx_, vsy_ = vels_of(u)
+                    res = jnp.maximum(tgt_n - vn_, 0.0)
+                    f_t = jnp.clip(w_tt * vt_, -cap_t, cap_t)
+                    vs_ = jnp.sqrt(vsx_ * vsx_ + vsy_ * vsy_ + 1e-16)
+                    fac_s = jnp.minimum(w_s, cap_s / vs_)
+                    f_w = jnp.clip(w_w * u[2], -cap_w, cap_w)
+
+                    def rsum(x):
+                        return jnp.sum(x, 0, keepdims=True)
+
+                    fx_, fy_ = fac_s * vsx_, fac_s * vsy_
+                    grad = [
+                        mass * (u[0] - u_unc[0]) - rsum(lam_nn * nx)
+                        + rsum(f_t * tx_) + rsum(fx_),
+                        mass * (u[1] - u_unc[1]) - rsum(lam_nn * ny)
+                        + rsum(f_t * ty_) + rsum(fy_),
+                        inertia * (u[2] - u_unc[2]) - rsum(lam_nn * rxn)
+                        + rsum(f_t * rxt)
+                        + rsum(rsx * fy_ - rsy * fx_) + f_w,
+                        fmass_l * (u[3] - u_unc[3])
+                        + rsum(sl * (lam_nn * ny - f_t * ty_)),
+                        fmass_r * (u[4] - u_unc[4])
+                        + rsum(sr * (lam_nn * ny - f_t * ty_)),
+                    ]
+
+                    on_n = w_nn * (res > 0.0)
+                    on_t = w_tt * (jnp.abs(w_tt * vt_) <= cap_t)
+                    hm = [[None] * 5 for _ in range(5)]
+                    for a in range(5):
+                        for b_ in range(a, 5):
+                            hm[a][b_] = rsum(on_n * jn[a] * jn[b_]
+                                            + on_t * jt[a] * jt[b_])
+                    # plane iso-GN + torsion
+                    hm[0][0] += rsum(fac_s) + mdiag[0]
+                    hm[1][1] += rsum(fac_s) + mdiag[1]
+                    hm[0][2] += rsum(fac_s * (-rsy))
+                    hm[1][2] += rsum(fac_s * rsx)
+                    hm[2][2] += rsum(fac_s * (rsx * rsx + rsy * rsy)) \
+                        + w_w * (jnp.abs(w_w * u[2]) <= cap_w) + mdiag[2]
+                    hm[3][3] += mdiag[3]
+                    hm[4][4] += mdiag[4]
+
+                    # unrolled 5x5 Cholesky solve of H d = -grad
+                    L = [[None] * 5 for _ in range(5)]
+                    Ld = [None] * 5
+                    for a in range(5):
+                        s_ = hm[a][a]
+                        for k in range(a):
+                            s_ = s_ - L[a][k] * L[a][k]
+                        dinv = jax.lax.rsqrt(jnp.maximum(s_, 1e-12))
+                        Ld[a] = dinv
+                        for b_ in range(a + 1, 5):
+                            s2 = hm[a][b_]
+                            for k in range(a):
+                                s2 = s2 - L[b_][k] * L[a][k]
+                            L[b_][a] = s2 * dinv
+                    yv = [None] * 5
+                    for a in range(5):
+                        s_ = -grad[a]
+                        for k in range(a):
+                            s_ = s_ - L[a][k] * yv[k]
+                        yv[a] = s_ * Ld[a]
+                    dv = [None] * 5
+                    for a in range(4, -1, -1):
+                        s_ = yv[a]
+                        for k in range(a + 1, 5):
+                            s_ = s_ - L[k][a] * dv[k]
+                        dv[a] = s_ * Ld[a]
+
+                    u1 = [u[a] + dv[a] for a in range(5)]
+                    u2 = [u[a] + 0.5 * dv[a] for a in range(5)]
+                    e0 = energy(u, cap_t, cap_s, cap_w)
+                    e1 = energy(u1, cap_t, cap_s, cap_w)
+                    e2 = energy(u2, cap_t, cap_s, cap_w)
+                    best12 = e1 <= e2
+                    eb = jnp.where(best12, e1, e2)
+                    take_new = eb <= e0
+                    u = [jnp.where(take_new,
+                                   jnp.where(best12, u1[a], u2[a]), u[a])
+                         for a in range(5)]
+
+                return tuple(u)
+
+            def _cheap_solve(u0_t):
+                # no finger contact anywhere in the block: plane friction +
+                # torsion only — 2 Newton iterations on the 3-DOF subproblem
+                # (the drop/settle phase; ~70% of datagen steps)
+                u = list(u0_t)
+                n_i_ = sw * n_total
+                cap_s_ = mu_plane * n_i_ * dt
+                cap_w_ = mu_torsion * jnp.sum(n_i_, 0, keepdims=True) * dt
+
+                def e_cheap(u_):
+                    vsx_ = u_[0] - u_[2] * rsy
+                    vsy_ = u_[1] + u_[2] * rsx
+                    vs_ = jnp.sqrt(vsx_ * vsx_ + vsy_ * vsy_ + 1e-16)
+                    q_ = 0.5 * w_s * vs_ * vs_
+                    lin = cap_s_ * vs_ \
+                        - 0.5 * cap_s_ * cap_s_ / jnp.maximum(w_s, 1e-12)
+                    e = jnp.sum(jnp.where(w_s * vs_ <= cap_s_, q_, lin),
+                                0, keepdims=True)
+                    qw_ = 0.5 * w_w * u_[2] * u_[2]
+                    linw = cap_w_ * jnp.abs(u_[2]) \
+                        - 0.5 * cap_w_ * cap_w_ / jnp.maximum(w_w, 1e-12)
+                    e = e + jnp.where(w_w * jnp.abs(u_[2]) <= cap_w_, qw_, linw)
+                    return e + 0.5 * (
+                        mass * ((u_[0] - u_unc[0]) ** 2
+                                + (u_[1] - u_unc[1]) ** 2)
+                        + inertia * (u_[2] - u_unc[2]) ** 2)
+
+                for _it in range(2):
+                    vsx_ = u[0] - u[2] * rsy
+                    vsy_ = u[1] + u[2] * rsx
+                    vs_ = jnp.sqrt(vsx_ * vsx_ + vsy_ * vsy_ + 1e-16)
+                    fac_s = jnp.minimum(w_s, cap_s_ / vs_)
+                    f_w = jnp.clip(w_w * u[2], -cap_w_, cap_w_)
+                    fx_ = fac_s * vsx_
+                    fy_ = fac_s * vsy_
+                    g0 = mass * (u[0] - u_unc[0]) + jnp.sum(fx_, 0, keepdims=True)
+                    g1 = mass * (u[1] - u_unc[1]) + jnp.sum(fy_, 0, keepdims=True)
+                    g2 = inertia * (u[2] - u_unc[2]) + f_w \
+                        + jnp.sum(rsx * fy_ - rsy * fx_, 0, keepdims=True)
+                    sfac = jnp.sum(fac_s, 0, keepdims=True)
+                    h00 = mass + sfac
+                    h11 = mass + sfac
+                    h02 = jnp.sum(fac_s * (-rsy), 0, keepdims=True)
+                    h12 = jnp.sum(fac_s * rsx, 0, keepdims=True)
+                    h22 = inertia + w_w * (jnp.abs(w_w * u[2]) <= cap_w_) \
+                        + jnp.sum(fac_s * (rsx * rsx + rsy * rsy), 0,
+                                  keepdims=True)
+                    # Cholesky of [[h00,0,h02],[0,h11,h12],[h02,h12,h22]]
+                    l00i = jax.lax.rsqrt(h00)
+                    l11i = jax.lax.rsqrt(h11)
+                    l20 = h02 * l00i
+                    l21 = h12 * l11i
+                    l22i = jax.lax.rsqrt(
+                        jnp.maximum(h22 - l20 * l20 - l21 * l21, 1e-12))
+                    y0 = -g0 * l00i
+                    y1 = -g1 * l11i
+                    y2 = (-g2 - l20 * y0 - l21 * y1) * l22i
+                    d2 = y2 * l22i
+                    d1 = (y1 - l21 * d2) * l11i
+                    d0 = (y0 - l20 * d2) * l00i
+                    # same candidate policy as the full path / engine
+                    u1 = [u[0] + d0, u[1] + d1, u[2] + d2, u[3], u[4]]
+                    u2 = [u[0] + 0.5 * d0, u[1] + 0.5 * d1,
+                          u[2] + 0.5 * d2, u[3], u[4]]
+                    e0 = e_cheap(u)
+                    e1 = e_cheap(u1)
+                    e2 = e_cheap(u2)
+                    b12 = e1 <= e2
+                    eb = jnp.where(b12, e1, e2)
+                    tk = eb <= e0
+                    u = [jnp.where(tk, jnp.where(b12, u1[a], u2[a]), u[a])
+                         for a in range(5)]
+                return tuple(u)
+
+            u = list(jax.lax.cond(jnp.sum(act) > 0.0,
+                                  _full_solve, _cheap_solve, tuple(u_unc)))
+            vx, vy, om = u[0], u[1], u[2]
+            qdl, qdr = u[3], u[4]
 
         cx2 = cx + dt * vx
         cy2 = cy + dt * vy
@@ -350,14 +590,25 @@ def _rollout_kernel(
     fpy_ref[0, 0, :] = org_y[0, :]
 
 
+def profile_batch_pallas(*args, solver=None, **kwargs):
+    """Public entry: resolves the default contact solver from
+    ``engine2d.SOLVER`` at call time so the kernel and the pure-JAX engine
+    switch together (tests assert their parity)."""
+    from dgdm_tpu.sim import engine2d as _e2
+
+    if solver is None:
+        solver = _e2.SOLVER
+    return _profile_batch_pallas(*args, solver=solver, **kwargs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "steps", "dt", "regrasp_every", "solver_iters", "ctrl_mag",
-        "snapshot_step",
+        "snapshot_step", "solver",
     ),
 )
-def profile_batch_pallas(
+def _profile_batch_pallas(
     coefs: jnp.ndarray,       # (B, 2, 6, 4)
     contour: jnp.ndarray,     # (B, P, 2)
     support: jnp.ndarray,     # (B, S, 4): x, y, weight, pad
@@ -369,6 +620,7 @@ def profile_batch_pallas(
     solver_iters: int = SOLVER_ITERS,
     ctrl_mag: float = SIM.ctrl_2d,
     snapshot_step: int = 0,
+    solver: str = "jacobi",
 ) -> Tuple[jnp.ndarray, ...]:
     """Fused rollouts: (B pairs) x (N poses) -> (dtheta (B, N),
     dpos (B, N, 2), final_theta (B, N), final_pos (B, N, 2)).
@@ -390,6 +642,7 @@ def profile_batch_pallas(
         solver_iters=solver_iters,
         ctrl_mag=ctrl_mag,
         snapshot_step=snapshot_step,
+        solver=solver,
     )
     grid = (b, n // LANE)
     out_shape = [
@@ -469,6 +722,7 @@ def scene_arrays(scenes, calib=None) -> Tuple[jnp.ndarray, ...]:
     scal[:, 0, 10] = float(calib.b_contact)
     scal[:, 0, 11] = float(calib.unload)
     scal[:, 0, 12] = float(calib.rough)
+    scal[:, 0, 13] = float(getattr(calib, "c_r", 0.0526))
     return (
         jnp.asarray(coefs),
         scenes.contour,

@@ -486,150 +486,272 @@ def _rollout3d_kernel(
                         + hub_sum(vnf_, vtf2, w_nf, capf_, tgt_fn)
                         + hub_sum(vnp_, vtp2, w_np, capp_, tgt_pn))
 
-            NIT = 6
-            for _it in range(NIT):
-                fx_, fy_, fz_, pvy_ = vrel_of(u)
-                vnf = fx_ * nfx + fy_ * nfy + fz_ * nfz
-                vtfx = fx_ - vnf * nfx
-                vtfy = fy_ - vnf * nfy
-                vtfz = fz_ - vnf * nfz
-                resf = jnp.maximum(tgt_fn - vnf, 0.0)
-                lamf = w_nf * resf
-                vnp = fz_
-                vtpx, vtpy = fx_, pvy_
-                resp = jnp.maximum(tgt_pn - vnp, 0.0)
-                lamp = w_np * resp
-                grip = jnp.sum(lamf, 0, keepdims=True) / mg_dt
-                scale_p = 1.0 / (1.0 + unload * grip)
-                capf = mu_finger * lamf + rough_capn
-                capp = mu_plane * scale_p * lamp
-                vtfn = jnp.sqrt(vtfx**2 + vtfy**2 + vtfz**2 + 1e-16)
-                vtpn = jnp.sqrt(vtpx**2 + vtpy**2 + 1e-16)
-                fac_f = jnp.minimum(w_nf, capf / vtfn)
-                fac_p = jnp.minimum(w_np, capp / vtpn)
+            def _full_solve(u0_t):
+                u = list(u0_t)
+                NIT = 6
+                for _it in range(NIT):
+                    fx_, fy_, fz_, pvy_ = vrel_of(u)
+                    vnf = fx_ * nfx + fy_ * nfy + fz_ * nfz
+                    vtfx = fx_ - vnf * nfx
+                    vtfy = fy_ - vnf * nfy
+                    vtfz = fz_ - vnf * nfz
+                    resf = jnp.maximum(tgt_fn - vnf, 0.0)
+                    lamf = w_nf * resf
+                    vnp = fz_
+                    vtpx, vtpy = fx_, pvy_
+                    resp = jnp.maximum(tgt_pn - vnp, 0.0)
+                    lamp = w_np * resp
+                    grip = jnp.sum(lamf, 0, keepdims=True) / mg_dt
+                    scale_p = 1.0 / (1.0 + unload * grip)
+                    capf = mu_finger * lamf + rough_capn
+                    capp = mu_plane * scale_p * lamp
+                    vtfn = jnp.sqrt(vtfx**2 + vtfy**2 + vtfz**2 + 1e-16)
+                    vtpn = jnp.sqrt(vtpx**2 + vtpy**2 + 1e-16)
+                    fac_f = jnp.minimum(w_nf, capf / vtfn)
+                    fac_p = jnp.minimum(w_np, capp / vtpn)
 
-                # gradient (8,) of the energy at u
-                def rsum(x):
-                    return jnp.sum(x, 0, keepdims=True)
+                    # gradient (8,) of the energy at u
+                    def rsum(x):
+                        return jnp.sum(x, 0, keepdims=True)
 
-                ix_, iy_, iz_ = iwmul(u[3] - u_unc[3], u[4] - u_unc[4],
-                                      u[5] - u_unc[5])
-                g0 = mass * (u[0] - u_unc[0]) - rsum(lamf * nfx) \
-                    + rsum(fac_f * vtfx + fac_p * vtpx)
-                g1 = mass * (u[1] - u_unc[1]) - rsum(lamf * nfy) \
-                    + rsum(fac_f * vtfy + fac_p * vtpy)
-                g2 = mass * (u[2] - u_unc[2]) - rsum(lamf * nfz + lamp) \
-                    + rsum(fac_f * vtfz)
-                g3 = ix_ - rsum(lamf * cfx + lamp * ry) \
-                    + rsum(fac_f * (ry * vtfz - rz * vtfy)
-                           + fac_p * (-rz * vtpy))
-                g4 = iy_ - rsum(lamf * cfy - lamp * rx) \
-                    + rsum(fac_f * (rz * vtfx - rx * vtfz)
-                           + fac_p * (rz * vtpx))
-                g5 = iz_ - rsum(lamf * cfz) \
-                    + rsum(fac_f * (rx * vtfy - ry * vtfx)
-                           + fac_p * (rx * vtpy - ry * vtpx))
-                g6 = fmass_l * (u[6] - u_unc[6]) \
-                    + rsum(sl * (lamf * nfy - fac_f * vtfy))
-                g7 = fmass_r * (u[7] - u_unc[7]) \
-                    + rsum(sr * (lamf * nfy - fac_f * vtfy))
-                grad = [g0, g1, g2, g3, g4, g5, g6, g7]
+                    ix_, iy_, iz_ = iwmul(u[3] - u_unc[3], u[4] - u_unc[4],
+                                          u[5] - u_unc[5])
+                    g0 = mass * (u[0] - u_unc[0]) - rsum(lamf * nfx) \
+                        + rsum(fac_f * vtfx + fac_p * vtpx)
+                    g1 = mass * (u[1] - u_unc[1]) - rsum(lamf * nfy) \
+                        + rsum(fac_f * vtfy + fac_p * vtpy)
+                    g2 = mass * (u[2] - u_unc[2]) - rsum(lamf * nfz + lamp) \
+                        + rsum(fac_f * vtfz)
+                    g3 = ix_ - rsum(lamf * cfx + lamp * ry) \
+                        + rsum(fac_f * (ry * vtfz - rz * vtfy)
+                               + fac_p * (-rz * vtpy))
+                    g4 = iy_ - rsum(lamf * cfy - lamp * rx) \
+                        + rsum(fac_f * (rz * vtfx - rx * vtfz)
+                               + fac_p * (rz * vtpx))
+                    g5 = iz_ - rsum(lamf * cfz) \
+                        + rsum(fac_f * (rx * vtfy - ry * vtfx)
+                               + fac_p * (rx * vtpy - ry * vtpx))
+                    g6 = fmass_l * (u[6] - u_unc[6]) \
+                        + rsum(sl * (lamf * nfy - fac_f * vtfy))
+                    g7 = fmass_r * (u[7] - u_unc[7]) \
+                        + rsum(sr * (lamf * nfy - fac_f * vtfy))
+                    grad = [g0, g1, g2, g3, g4, g5, g6, g7]
 
-                # Hessian: M + on.J(x)J + fac.(G^T G - Jn(x)Jn)
-                onf = w_nf * (resf > 0.0)
-                onp = w_np * (resp > 0.0)
-                h = [[None] * 8 for _ in range(8)]
+                    # Hessian: M + on.J(x)J + fac.(G^T G - Jn(x)Jn)
+                    onf = w_nf * (resf > 0.0)
+                    onp = w_np * (resp > 0.0)
+                    h = [[None] * 8 for _ in range(8)]
 
-                def hset(a, b, v):
-                    h[a][b] = v
+                    def hset(a, b, v):
+                        h[a][b] = v
 
-                # normal outer products minus tangential-GN correction
-                cn_f = onf - fac_f
-                cn_p = onp - fac_p
-                for a in range(8):
-                    for b_ in range(a, 8):
-                        hset(a, b_, rsum(cn_f * jf[a] * jf[b_]
-                                         + cn_p * jp[a] * jp[b_]))
-                # tangential GN full-velocity blocks (shared by both rows)
-                facs = fac_f + fac_p
-                h[0][0] += rsum(facs)
-                h[1][1] += rsum(facs)
-                h[2][2] += rsum(facs)
-                h[0][4] += rsum(facs * rz)
-                h[0][5] += rsum(facs * (-ry))
-                h[1][3] += rsum(facs * (-rz))
-                h[1][5] += rsum(facs * rx)
-                h[2][3] += rsum(facs * ry)
-                h[2][4] += rsum(facs * (-rx))
-                h[3][3] += rsum(facs * (ry * ry + rz * rz))
-                h[4][4] += rsum(facs * (rx * rx + rz * rz))
-                h[5][5] += rsum(facs * (rx * rx + ry * ry))
-                h[3][4] += rsum(facs * (-rx * ry))
-                h[3][5] += rsum(facs * (-rx * rz))
-                h[4][5] += rsum(facs * (-ry * rz))
-                # finger-column blocks (finger rows only)
-                h[1][6] += rsum(fac_f * (-sl))
-                h[1][7] += rsum(fac_f * (-sr))
-                h[3][6] += rsum(fac_f * sl * rz)
-                h[5][6] += rsum(fac_f * sl * (-rx))
-                h[3][7] += rsum(fac_f * sr * rz)
-                h[5][7] += rsum(fac_f * sr * (-rx))
-                h[6][6] += rsum(fac_f * sl)
-                h[7][7] += rsum(fac_f * sr)
-                # mass block
-                h[0][0] += mass
-                h[1][1] += mass
-                h[2][2] += mass
-                h[3][3] += iw00
-                h[4][4] += iw11
-                h[5][5] += iw22
-                h[3][4] += iw01
-                h[3][5] += iw02
-                h[4][5] += iw12
-                h[6][6] += fmass_l
-                h[7][7] += fmass_r
+                    # normal outer products minus tangential-GN correction
+                    cn_f = onf - fac_f
+                    cn_p = onp - fac_p
+                    for a in range(8):
+                        for b_ in range(a, 8):
+                            hset(a, b_, rsum(cn_f * jf[a] * jf[b_]
+                                             + cn_p * jp[a] * jp[b_]))
+                    # tangential GN full-velocity blocks (shared by both rows)
+                    facs = fac_f + fac_p
+                    h[0][0] += rsum(facs)
+                    h[1][1] += rsum(facs)
+                    h[2][2] += rsum(facs)
+                    h[0][4] += rsum(facs * rz)
+                    h[0][5] += rsum(facs * (-ry))
+                    h[1][3] += rsum(facs * (-rz))
+                    h[1][5] += rsum(facs * rx)
+                    h[2][3] += rsum(facs * ry)
+                    h[2][4] += rsum(facs * (-rx))
+                    h[3][3] += rsum(facs * (ry * ry + rz * rz))
+                    h[4][4] += rsum(facs * (rx * rx + rz * rz))
+                    h[5][5] += rsum(facs * (rx * rx + ry * ry))
+                    h[3][4] += rsum(facs * (-rx * ry))
+                    h[3][5] += rsum(facs * (-rx * rz))
+                    h[4][5] += rsum(facs * (-ry * rz))
+                    # finger-column blocks (finger rows only)
+                    h[1][6] += rsum(fac_f * (-sl))
+                    h[1][7] += rsum(fac_f * (-sr))
+                    h[3][6] += rsum(fac_f * sl * rz)
+                    h[5][6] += rsum(fac_f * sl * (-rx))
+                    h[3][7] += rsum(fac_f * sr * rz)
+                    h[5][7] += rsum(fac_f * sr * (-rx))
+                    h[6][6] += rsum(fac_f * sl)
+                    h[7][7] += rsum(fac_f * sr)
+                    # mass block
+                    h[0][0] += mass
+                    h[1][1] += mass
+                    h[2][2] += mass
+                    h[3][3] += iw00
+                    h[4][4] += iw11
+                    h[5][5] += iw22
+                    h[3][4] += iw01
+                    h[3][5] += iw02
+                    h[4][5] += iw12
+                    h[6][6] += fmass_l
+                    h[7][7] += fmass_r
 
-                # unrolled Cholesky H = L L^T (lower L over upper-tri h)
-                L = [[None] * 8 for _ in range(8)]
-                Ld = [None] * 8
-                for a in range(8):
-                    s_ = h[a][a]
-                    for k in range(a):
-                        s_ = s_ - L[a][k] * L[a][k]
-                    dinv = jax.lax.rsqrt(jnp.maximum(s_, 1e-12))
-                    Ld[a] = dinv
-                    L[a][a] = 1.0 / dinv
-                    for b_ in range(a + 1, 8):
-                        s2 = h[a][b_]
+                    # unrolled Cholesky H = L L^T (lower L over upper-tri h)
+                    L = [[None] * 8 for _ in range(8)]
+                    Ld = [None] * 8
+                    for a in range(8):
+                        s_ = h[a][a]
                         for k in range(a):
-                            s2 = s2 - L[b_][k] * L[a][k]
-                        L[b_][a] = s2 * dinv
-                # solve L y = -grad; L^T d = y
-                yv = [None] * 8
-                for a in range(8):
-                    s_ = -grad[a]
-                    for k in range(a):
-                        s_ = s_ - L[a][k] * yv[k]
-                    yv[a] = s_ * Ld[a]
-                dv = [None] * 8
-                for a in range(7, -1, -1):
-                    s_ = yv[a]
-                    for k in range(a + 1, 8):
-                        s_ = s_ - L[k][a] * dv[k]
-                    dv[a] = s_ * Ld[a]
+                            s_ = s_ - L[a][k] * L[a][k]
+                        dinv = jax.lax.rsqrt(jnp.maximum(s_, 1e-12))
+                        Ld[a] = dinv
+                        L[a][a] = 1.0 / dinv
+                        for b_ in range(a + 1, 8):
+                            s2 = h[a][b_]
+                            for k in range(a):
+                                s2 = s2 - L[b_][k] * L[a][k]
+                            L[b_][a] = s2 * dinv
+                    # solve L y = -grad; L^T d = y
+                    yv = [None] * 8
+                    for a in range(8):
+                        s_ = -grad[a]
+                        for k in range(a):
+                            s_ = s_ - L[a][k] * yv[k]
+                        yv[a] = s_ * Ld[a]
+                    dv = [None] * 8
+                    for a in range(7, -1, -1):
+                        s_ = yv[a]
+                        for k in range(a + 1, 8):
+                            s_ = s_ - L[k][a] * dv[k]
+                        dv[a] = s_ * Ld[a]
 
-                u1 = [u[a] + dv[a] for a in range(8)]
-                u2 = [u[a] + 0.5 * dv[a] for a in range(8)]
-                e0 = energy(u, capf, capp)
-                e1 = energy(u1, capf, capp)
-                e2 = energy(u2, capf, capp)
-                best12 = e1 <= e2
-                eb = jnp.where(best12, e1, e2)
-                take_new = eb <= e0
-                u = [jnp.where(take_new,
-                               jnp.where(best12, u1[a], u2[a]), u[a])
-                     for a in range(8)]
+                    u1 = [u[a] + dv[a] for a in range(8)]
+                    u2 = [u[a] + 0.5 * dv[a] for a in range(8)]
+                    e0 = energy(u, capf, capp)
+                    e1 = energy(u1, capf, capp)
+                    e2 = energy(u2, capf, capp)
+                    best12 = e1 <= e2
+                    eb = jnp.where(best12, e1, e2)
+                    take_new = eb <= e0
+                    u = [jnp.where(take_new,
+                                   jnp.where(best12, u1[a], u2[a]), u[a])
+                         for a in range(8)]
 
+                return tuple(u)
+
+            def _cheap_solve(u0_t):
+                # no finger contact anywhere in the block (the drop/settle +
+                # finger-travel phase, ~80% of an 800-step squeeze): Newton on
+                # the 6-DOF plane-row subproblem only; finger DOFs stay at
+                # their unconstrained servo update.
+                u = list(u0_t)
+
+                def e_cheap(u_, capp_):
+                    vpx_ = u_[0] + u_[4] * rz - u_[5] * ry
+                    vpy_ = u_[1] + u_[5] * rx - u_[3] * rz
+                    vpz_ = u_[2] + u_[3] * ry - u_[4] * rx
+                    res_ = jnp.maximum(tgt_pn - vpz_, 0.0)
+                    vt2_ = vpx_ * vpx_ + vpy_ * vpy_
+                    e = jnp.sum(0.5 * w_np * res_ * res_, 0, keepdims=True)
+                    vt_ = jnp.sqrt(vt2_ + 1e-16)
+                    q_ = 0.5 * w_np * vt2_
+                    lin = capp_ * vt_ \
+                        - 0.5 * capp_ * capp_ / jnp.maximum(w_np, 1e-12)
+                    e = e + jnp.sum(jnp.where(w_np * vt_ <= capp_, q_, lin),
+                                    0, keepdims=True)
+                    dox_, doy_, doz_ = (u_[3] - u_unc[3], u_[4] - u_unc[4],
+                                        u_[5] - u_unc[5])
+                    ix2, iy2, iz2 = iwmul(dox_, doy_, doz_)
+                    return e + 0.5 * (
+                        mass * ((u_[0] - u_unc[0]) ** 2
+                                + (u_[1] - u_unc[1]) ** 2
+                                + (u_[2] - u_unc[2]) ** 2)
+                        + dox_ * ix2 + doy_ * iy2 + doz_ * iz2)
+
+                for _it in range(3):
+                    vpx = u[0] + u[4] * rz - u[5] * ry
+                    vpy = u[1] + u[5] * rx - u[3] * rz
+                    vpz = u[2] + u[3] * ry - u[4] * rx
+                    resp = jnp.maximum(tgt_pn - vpz, 0.0)
+                    lamp = w_np * resp
+                    capp = mu_plane * lamp
+                    vtpn = jnp.sqrt(vpx * vpx + vpy * vpy + 1e-16)
+                    fac_p = jnp.minimum(w_np, capp / vtpn)
+
+                    def rsum(x):
+                        return jnp.sum(x, 0, keepdims=True)
+
+                    ix_, iy_, iz_ = iwmul(u[3] - u_unc[3], u[4] - u_unc[4],
+                                          u[5] - u_unc[5])
+                    fx_, fy_ = fac_p * vpx, fac_p * vpy
+                    g0 = mass * (u[0] - u_unc[0]) + rsum(fx_)
+                    g1 = mass * (u[1] - u_unc[1]) + rsum(fy_)
+                    g2 = mass * (u[2] - u_unc[2]) - rsum(lamp)
+                    g3 = ix_ - rsum(lamp * ry) + rsum(-rz * fy_)
+                    g4 = iy_ + rsum(lamp * rx) + rsum(rz * fx_)
+                    g5 = iz_ + rsum(rx * fy_ - ry * fx_)
+                    onp = w_np * (resp > 0.0)
+                    cn_p = onp - fac_p
+                    jp6 = (jp[0], jp[1], jp[2], jp[3], jp[4], jp[5])
+                    h = [[None] * 6 for _ in range(6)]
+                    for a in range(6):
+                        for b_ in range(a, 6):
+                            h[a][b_] = rsum(cn_p * jp6[a] * jp6[b_])
+                    h[0][0] += rsum(fac_p) + mass
+                    h[1][1] += rsum(fac_p) + mass
+                    h[2][2] += rsum(fac_p) + mass
+                    h[0][4] += rsum(fac_p * rz)
+                    h[0][5] += rsum(fac_p * (-ry))
+                    h[1][3] += rsum(fac_p * (-rz))
+                    h[1][5] += rsum(fac_p * rx)
+                    h[2][3] += rsum(fac_p * ry)
+                    h[2][4] += rsum(fac_p * (-rx))
+                    h[3][3] += rsum(fac_p * (ry * ry + rz * rz)) + iw00
+                    h[4][4] += rsum(fac_p * (rx * rx + rz * rz)) + iw11
+                    h[5][5] += rsum(fac_p * (rx * rx + ry * ry)) + iw22
+                    h[3][4] += rsum(fac_p * (-rx * ry)) + iw01
+                    h[3][5] += rsum(fac_p * (-rx * rz)) + iw02
+                    h[4][5] += rsum(fac_p * (-ry * rz)) + iw12
+                    grad6 = [g0, g1, g2, g3, g4, g5]
+                    L = [[None] * 6 for _ in range(6)]
+                    Ld = [None] * 6
+                    for a in range(6):
+                        s_ = h[a][a]
+                        for k in range(a):
+                            s_ = s_ - L[a][k] * L[a][k]
+                        dinv = jax.lax.rsqrt(jnp.maximum(s_, 1e-12))
+                        Ld[a] = dinv
+                        for b_ in range(a + 1, 6):
+                            s2 = h[a][b_]
+                            for k in range(a):
+                                s2 = s2 - L[b_][k] * L[a][k]
+                            L[b_][a] = s2 * dinv
+                    yv = [None] * 6
+                    for a in range(6):
+                        s_ = -grad6[a]
+                        for k in range(a):
+                            s_ = s_ - L[a][k] * yv[k]
+                        yv[a] = s_ * Ld[a]
+                    dv = [None] * 6
+                    for a in range(5, -1, -1):
+                        s_ = yv[a]
+                        for k in range(a + 1, 6):
+                            s_ = s_ - L[k][a] * dv[k]
+                        dv[a] = s_ * Ld[a]
+                    u1 = [u[0] + dv[0], u[1] + dv[1], u[2] + dv[2],
+                          u[3] + dv[3], u[4] + dv[4], u[5] + dv[5],
+                          u[6], u[7]]
+                    u2 = [u[a] + 0.5 * dv[a] if a < 6 else u[a]
+                          for a in range(8)]
+                    # the ill-conditioned f32 Cholesky can explode at plane
+                    # impact — same monotone energy fallback as the full path
+                    e0 = e_cheap(u, capp)
+                    e1 = e_cheap(u1, capp)
+                    e2 = e_cheap(u2, capp)
+                    b12 = e1 <= e2
+                    eb = jnp.where(b12, e1, e2)
+                    tk = eb <= e0
+                    u = [jnp.where(tk, jnp.where(b12, u1[a], u2[a]), u[a])
+                         for a in range(8)]
+                return tuple(u)
+
+            u = list(jax.lax.cond(jnp.sum(act_f) > 0.0,
+                                  _full_solve, _cheap_solve, tuple(u_unc)))
             vx, vy, vz = u[0], u[1], u[2]
             ox, oy, oz = u[3], u[4], u[5]
             qdl, qdr = u[6], u[7]

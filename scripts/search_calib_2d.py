@@ -61,7 +61,7 @@ def score(en, target, sig_mask):
     ratio = np.median(en[sig_mask].std(-1) / (target[sig_mask].std(-1) + 1e-12))
     agree = (cls(en) == cls(target)).mean()
     total = corr_m + agree - 0.5 * abs(np.log(max(ratio, 1e-6)))
-    return total, corr_m, ratio, agree
+    return float(total), float(corr_m), float(ratio), float(agree)
 
 
 def main():
@@ -96,7 +96,7 @@ def main():
             c, hw = RANGES[k]
             if center is not None:
                 c = np.log10(center[k])
-            vals[k] = 10 ** (c + rng.uniform(-hw, hw) * shrink)
+            vals[k] = float(10 ** (c + rng.uniform(-hw, hw) * shrink))
         return vals
 
     def make_calib(vals):

@@ -109,14 +109,14 @@ def test_statistical_fidelity_vs_mujoco_suite():
     suite (runs/calib/oracle2d_suite*.npz, 60 objects x grippers x 48
     orientations, built by scripts/build_oracle_suite.py).
 
-    Context for the thresholds (measured, docs/PARITY.md): MuJoCo's own
-    decomposition-to-decomposition ceiling on this suite is corr 0.758 /
-    agree 0.779; the calibrated engine achieves corr 0.50 / agree 0.66
-    against one decomposition and corr 0.40 / agree 0.62 against the
-    two-decomposition mean (the estimate of the deterministic signal).
-    Bounds sit just below those measurements so any fidelity REGRESSION
-    fails loudly, while the remaining gap to the ceiling is tracked in
-    docs/PARITY.md as open work."""
+    Context for the thresholds (measured, docs/PARITY.md): MuJoCo's
+    instance-vs-mean ceiling on this suite is corr 0.845 / agree 0.779
+    (75-slab decomposition vs the 50/100 mean). The Newton engine with the
+    searched calibration reaches corr 0.33 / MEDIAN RATIO 1.00 / agree 0.63
+    against the mean — magnitude at parity (the Jacobi model under-rotated
+    0.62x, biasing every downstream class label), direction at ~40% of the
+    ceiling (open work: the crack-wall normal fan, docs/PARITY.md). Bounds
+    sit just below those measurements so any regression fails loudly."""
     import os
 
     suite = os.path.join(os.path.dirname(__file__), "..", "runs", "calib",
@@ -160,7 +160,7 @@ def test_statistical_fidelity_vs_mujoco_suite():
             ratios.append(e.std() / m.std())
         agrees.append((cls(e) == cls(m)).mean())
     corr, ratio, agree = np.mean(corrs), np.median(ratios), np.mean(agrees)
-    assert corr > 0.30, f"suite corr regressed: {corr:.3f} (was 0.40)"
-    assert 0.35 < ratio < 1.8, f"magnitude regressed: {ratio:.3f} (was 0.62)"
-    assert agree > 0.55, f"class agreement regressed: {agree:.3f} (was 0.62)"
+    assert corr > 0.27, f"suite corr regressed: {corr:.3f} (was 0.33)"
+    assert 0.7 < ratio < 1.35, f"magnitude regressed: {ratio:.3f} (was 1.00)"
+    assert agree > 0.57, f"class agreement regressed: {agree:.3f} (was 0.63)"
     assert np.isfinite(en).all()
