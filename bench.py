@@ -127,15 +127,23 @@ def _torch_guided_baseline(batch: int = 16, rows: int = 9000) -> float:
     return 1.0 / dt
 
 
-def measure_tpu_2d(num_pairs: int = 32, repeats: int = 2) -> float:
+def measure_tpu_2d(num_pairs: int = 64, repeats: int = 2,
+                   solver=None) -> float:
     from dgdm_tpu.sim.datagen import throughput_workload
 
+    from dgdm_tpu.sim import engine2d
+
+    saved = engine2d.SOLVER
+    if solver is not None:
+        engine2d.SOLVER = solver
     run, total = throughput_workload(num_pairs=num_pairs)
     run()  # compile + warm
     t0 = time.time()
     for _ in range(repeats):
         run()
-    return total * repeats / (time.time() - t0)
+    rate = total * repeats / (time.time() - t0)
+    engine2d.SOLVER = saved
+    return rate
 
 
 def measure_tpu_3d(num_pairs: int = 8, num_poses: int = 1152) -> float:
@@ -277,6 +285,16 @@ def main():
               re_ / (b["mj_eval_rollouts_per_sec"] * RAY_CONCURRENCY_2D))
     except Exception as e:
         print(json.dumps({"metric": "eval_rollouts_per_sec",
+                          "error": str(e)[:200]}), flush=True)
+    try:
+        # secondary: the round-1 Jacobi kernel (faster, magnitude-biased
+        # physics — kept selectable; see docs/PARITY.md)
+        rj = measure_tpu_2d(solver="jacobi")
+        _emit("2d_squeeze_rollouts_per_sec_jacobi", rj,
+              "rollouts/s (200-step squeezes, legacy Jacobi solver)",
+              rj / (b["mujoco_single_core_rollouts_per_sec"] * RAY_CONCURRENCY_2D))
+    except Exception as e:
+        print(json.dumps({"metric": "2d_squeeze_rollouts_per_sec_jacobi",
                           "error": str(e)[:200]}), flush=True)
     # headline LAST (the driver records the final line)
     r2 = measure_tpu_2d()

@@ -512,10 +512,11 @@ def step_jacobi(scene: Scene2D, state: State2D, ctrl: jnp.ndarray,
     return new
 
 
-# 6 iterations + 2-point line search measured statistically identical to
-# 8 + 3-point on the oracle suites (see the 3D study in docs/PARITY.md) at
-# ~25% less cost; the Pallas kernels unroll exactly this configuration.
-NEWTON_ITERS = 6
+# 5 iterations + 2-point line search measured statistically identical to
+# 8 + 3-point on the oracle suite (corr 0.339/0.330, ratio 0.978/0.996,
+# agree 0.628/0.630 for 5/6 iters); the Pallas kernel unrolls exactly this
+# configuration. Dropping the 0.5-step candidate is NOT safe (ratio 1.38).
+NEWTON_ITERS = 5
 _LS_ALPHAS = (1.0, 0.5)
 
 

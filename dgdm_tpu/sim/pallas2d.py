@@ -387,7 +387,7 @@ def _rollout_kernel(
 
             def _full_solve(u0_t):
                 u = list(u0_t)
-                NIT2 = 6
+                NIT2 = 5
                 for _it in range(NIT2):
                     lam_nn, cap_t, cap_s, cap_w = caps_of(u)
                     vn_, vt_, vsx_, vsy_ = vels_of(u)
