@@ -128,11 +128,23 @@ def main(argv=None):
     # generator/diffusion.py:493-499) -> number of lax.map chunks here
     n_poses = args.grid_size * args.num_pos**2
     pose_chunks = max(1, -(-n_poses // max(args.sub_bs, 1)))
+    # multi-chip: shard the pose grid over an 'sp' mesh axis (the CP analog;
+    # XLA psums the objective gradient over ICI) when devices are available
+    # and the grid divides evenly — else single-device with lax.map chunking
+    import jax as _jax
+
+    from dgdm_tpu.parallel.mesh import make_mesh
+
+    mesh = None
+    if _jax.device_count() > 1:
+        cand = make_mesh(axes=("dp", "sp"))
+        if args.grid_size % cand.shape["sp"] == 0:
+            mesh = cand
     sampler = GuidedSampler(
         unet, classifier, grid_size=args.grid_size, num_pos=args.num_pos,
         num_train_timesteps=args.num_train_timesteps,
         num_inference_steps=args.num_inference_steps,
-        pose_chunks=pose_chunks,
+        pose_chunks=pose_chunks, mesh=mesh,
     )
 
     def sim_eval(samples, oi):

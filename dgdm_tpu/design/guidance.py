@@ -62,6 +62,7 @@ class GuidedSampler2D:
         num_train_timesteps: int = DIFFUSION.num_train_timesteps,
         num_inference_steps: int = DIFFUSION.num_inference_steps,
         pose_chunks: int = 12,
+        mesh=None,
     ):
         self.unet = unet
         self.classifier = classifier
@@ -70,7 +71,21 @@ class GuidedSampler2D:
         self.num_inference_steps = num_inference_steps
         self.grid_size = grid_size
         self.num_pos = num_pos
-        self.pose_chunks = pose_chunks
+        # multi-chip: shard the pose-grid axis over the mesh's 'sp' axis
+        # (the sequence/context-parallel analog — SURVEY §5); XLA reduces the
+        # objective gradient with a psum over ICI. Sharding replaces lax.map
+        # chunking as the memory bound, so pose_chunks collapses to 1.
+        self.mesh = mesh
+        self.pose_chunks = 1 if mesh is not None else pose_chunks
+
+    def _shard_poses(self, poses: jnp.ndarray) -> jnp.ndarray:
+        if self.mesh is None or "sp" not in self.mesh.shape:
+            return poses
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            poses, NamedSharding(self.mesh, P("sp", None))
+        )
 
     # -- classifier plumbing -------------------------------------------------
 
@@ -169,9 +184,9 @@ class GuidedSampler2D:
     ) -> jnp.ndarray:
         """One fused guided DDIM run. noise (B, L, 1) -> samples (B, L, 1)."""
         b = noise.shape[0]
-        poses = jnp.asarray(
+        poses = self._shard_poses(jnp.asarray(
             pose_grid_normalized(self.grid_size, self.num_pos, ori_range)
-        )
+        ))
         weights, rotate_sq = self._objective_weights(objective, centers, b)
         obj_feat = self._encode_object(cls_vars, obj_flat)
         ts = jnp.asarray(
@@ -208,9 +223,9 @@ class GuidedSampler2D:
     ) -> jnp.ndarray:
         """Gradient averaged over objects (generator/diffusion.py:621-709)."""
         b = noise.shape[0]
-        poses = jnp.asarray(
+        poses = self._shard_poses(jnp.asarray(
             pose_grid_normalized(self.grid_size, self.num_pos, ori_range)
-        )
+        ))
         weights, rotate_sq = self._objective_weights(objective, None, b)
         obj_feats = jax.vmap(lambda o: self._encode_object(cls_vars, o))(
             obj_flats

@@ -34,7 +34,9 @@ from dgdm_tpu.train.generator import GeneratorTrainer
 OUT = os.path.join(os.path.dirname(__file__), "..", "runs", "demo2d")
 N_OBJECTS = 3
 N_GRIPPERS = 24
-DYN_STEPS = 300
+# the Newton engine's labels carry ~1.6x more rotation signal (magnitude at
+# parity with MuJoCo); the demo-scale classifier needs the extra steps
+DYN_STEPS = 900
 DIFF_STEPS = 1500
 OBJECTIVES = ("rotate_clockwise", "rotate_counterclockwise", "shift_left")
 

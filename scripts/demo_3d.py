@@ -33,8 +33,10 @@ from dgdm_tpu.train.dynamics import DynamicsTrainer
 from dgdm_tpu.train.generator import GeneratorTrainer
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "runs", "demo3d")
-N_GRIPPERS = 16
-DYN_STEPS = 600
+N_GRIPPERS = 24
+# Newton-engine labels carry ~2x the motion signal of the round-1 Jacobi
+# labels; the PointNet++ classifier needs more steps at demo scale
+DYN_STEPS = 1800
 DIFF_STEPS = 1200
 OBJECTIVES = ("rotate_clockwise", "rotate_counterclockwise", "shift_left")
 GRID = 45          # guided_sample_3d.sh grid size

@@ -150,3 +150,34 @@ def test_datagen_cli_path_shards_engine(tmp_path):
     assert len(os.listdir(tmp_path)) == 8
     for r in recs:
         assert np.isfinite(r["delta_theta"]).all()
+
+
+def test_guided_sampler_mesh_parity():
+    """GuidedSampler with the pose grid sharded over 'sp' (the CLI's
+    multi-chip path) must reproduce the single-device samples."""
+    from dgdm_tpu.design.guidance import GuidedSampler2D
+    from dgdm_tpu.models.profile2d import ProfileForward2D
+    from dgdm_tpu.models.unet1d import ConditionalUnet1D
+
+    unet = ConditionalUnet1D(down_dims=(16, 32))
+    classifier = ProfileForward2D(width=32, object_ch=40)
+    rng = jax.random.PRNGKey(0)
+    noise = jax.random.normal(rng, (4, 14, 1))
+    obj = jax.random.normal(jax.random.PRNGKey(1), (40,))
+    unet_params = unet.init(rng, noise, jnp.zeros((4,), jnp.int32))["params"]
+    cls_vars = classifier.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 14)), jnp.zeros((1, 1)),
+        jnp.zeros((1, 2)), jnp.zeros((1,)), jnp.zeros((1, 40)), train=False,
+    )
+
+    base = GuidedSampler2D(unet, classifier, grid_size=8, num_pos=1,
+                           pose_chunks=1)
+    ref = np.asarray(base.sample(
+        unet_params, cls_vars, noise, obj, "shift_up", jnp.float32(0.01)))
+
+    mesh = meshlib.make_mesh(axes=("dp", "sp"))
+    sharded = GuidedSampler2D(unet, classifier, grid_size=8, num_pos=1,
+                              mesh=mesh)
+    out = np.asarray(sharded.sample(
+        unet_params, cls_vars, noise, obj, "shift_up", jnp.float32(0.01)))
+    np.testing.assert_allclose(ref, out, atol=2e-6)
