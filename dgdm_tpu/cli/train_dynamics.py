@@ -39,7 +39,8 @@ def _shard(mesh, batch):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    train_data = DynamicsData(args.data_dir, args.object_max_num_vertices)
+    train_data = DynamicsData(args.data_dir, args.object_max_num_vertices,
+                              mirror_augment=args.mirror_augment)
     val_data = DynamicsData(args.test_data_dir, args.object_max_num_vertices)
     assert len(train_data) > 0, f"no npz shards under {args.data_dir}"
 

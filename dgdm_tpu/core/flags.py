@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 compute for NN training (10x on TPU; "
                         "params stay f32)")
     p.add_argument("--no_bf16", dest="bf16", action="store_false")
+    p.add_argument("--mirror_augment", action="store_true",
+                   help="2D dynamics: double the dataset with the exact "
+                        "y-axis mirror symmetry (enforces cw/ccw balance "
+                        "in the classifier; train.data.mirror_rows_2d)")
     return p
 
 

@@ -55,13 +55,51 @@ def normalize_record_2d(
     }
 
 
+def mirror_rows_2d(rows: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Mirror-symmetry augmentation for normalized 2D dynamics rows.
+
+    The scene mirrored across the y-axis (x -> -x) is an equally valid
+    physical sample whose interaction profile is EXACTLY mirrored — a
+    symmetry the simulator guarantees (the jaws sit at +-y, unchanged).
+    Doubling the dataset this way enforces cw/ccw balance in the learned
+    classifier; profile datasets are otherwise rotation-biased by whatever
+    object chirality they sampled (observed: guided counterclockwise
+    underperforming its clockwise twin at small data scale).
+
+    Transform on normalized rows: each finger's y ctrl block reverses along
+    x; the contour flips x and reverses vertex order (restoring CCW
+    orientation); ori = theta/pi - 1 -> -ori (theta -> 2pi - theta);
+    pos_x -> -pos_x; scores (dtheta, dx, dy) -> (-dtheta, -dx, dy).
+    """
+    ctrl = rows["ctrl"]
+    k = ctrl.shape[1] // 2
+    ctrl_m = np.concatenate(
+        [ctrl[:, :k][:, ::-1], ctrl[:, k:][:, ::-1]], axis=1
+    )
+    obj = rows["obj"]
+    n, f = obj.shape
+    verts = obj.reshape(n, f // 2, 2).copy()
+    verts[..., 0] *= -1.0
+    verts = verts[:, ::-1, :]
+    score = rows["score"] * np.asarray([-1.0, -1.0, 1.0], np.float32)
+    pos = rows["pos"] * np.asarray([-1.0, 1.0], np.float32)
+    return {
+        "ctrl": np.ascontiguousarray(ctrl_m, np.float32),
+        "ori": (-rows["ori"]).astype(np.float32),
+        "pos": pos.astype(np.float32),
+        "obj": np.ascontiguousarray(verts.reshape(n, f), np.float32),
+        "score": score.astype(np.float32),
+    }
+
+
 class DynamicsData:
     """Shard-reading dataset for dynamics training (2D).
 
     Iterates per-pair shards (each expands to grid_size*num_pos^2 rows) and
     yields concatenated, shuffled row batches."""
 
-    def __init__(self, dataset_dir: str, object_max_num_vertices: int = 100):
+    def __init__(self, dataset_dir: str, object_max_num_vertices: int = 100,
+                 mirror_augment: bool = False):
         self.files: List[str] = []
         for root, _, files in os.walk(dataset_dir):
             for f in files:
@@ -69,13 +107,18 @@ class DynamicsData:
                     self.files.append(os.path.join(root, f))
         self.files.sort()
         self.v = object_max_num_vertices
+        self.mirror_augment = mirror_augment
 
     def __len__(self) -> int:
         return len(self.files)
 
     def load(self, idx: int) -> Dict[str, np.ndarray]:
         rec = np.load(self.files[idx], allow_pickle=True)["arr_0"].item()
-        return normalize_record_2d(rec, self.v)
+        rows = normalize_record_2d(rec, self.v)
+        if self.mirror_augment:
+            m = mirror_rows_2d(rows)
+            rows = {k: np.concatenate([rows[k], m[k]], 0) for k in rows}
+        return rows
 
     def batches(
         self,

@@ -65,9 +65,15 @@ def main():
     print("datagen:", summary["datagen"], flush=True)
 
     # ---- dynamics training -------------------------------------------------
+    from dgdm_tpu.train.data import mirror_rows_2d
+
     rows = [normalize_record_2d(r) for r in records]
     val_n = max(1, len(rows) // 10)
     train_rows, val_rows = rows[val_n:], rows[:val_n]
+    # mirror-symmetry augmentation: enforces cw/ccw balance in the classifier
+    # (the sampled objects are chiral; without it guided counterclockwise
+    # underperforms its clockwise twin at demo data scale)
+    train_rows = train_rows + [mirror_rows_2d(r) for r in train_rows]
 
     def stack(rs):
         return {

@@ -164,3 +164,31 @@ def test_statistical_fidelity_vs_mujoco_suite():
     assert 0.7 < ratio < 1.35, f"magnitude regressed: {ratio:.3f} (was 1.00)"
     assert agree > 0.57, f"class agreement regressed: {agree:.3f} (was 0.63)"
     assert np.isfinite(en).all()
+
+
+def test_mirror_symmetry_profiles():
+    """The scene mirrored across the y-axis must produce exactly mirrored
+    interaction profiles (the physical symmetry behind
+    train.data.mirror_rows_2d augmentation)."""
+    from dgdm_tpu.geom.contour import extract_contours
+    from dgdm_tpu.geom.fingers import sample_gripper_2d
+    from dgdm_tpu.geom.shapes import suite_icon
+
+    contour = extract_contours(suite_icon(7))
+    yl, yr = sample_gripper_2d(42)
+    scene = engine2d.make_scene(yl, yr, contour)
+
+    contour_m = (contour * np.asarray([-1.0, 1.0]))[::-1]
+    scene_m = engine2d.make_scene(yl[::-1], yr[::-1], contour_m)
+
+    ths = np.linspace(0.2, 2 * np.pi, 6, endpoint=False)
+    poses = jnp.asarray(np.stack([0 * ths, 0 * ths, ths], -1), jnp.float32)
+    poses_m = jnp.asarray(
+        np.stack([0 * ths, 0 * ths, 2 * np.pi - ths], -1), jnp.float32)
+    dth, dpos, _ = engine2d.profile(scene, poses, steps=120)
+    dth_m, dpos_m, _ = engine2d.profile(scene_m, poses_m, steps=120)
+    np.testing.assert_allclose(np.asarray(dth_m), -np.asarray(dth), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(dpos_m)[:, 0], -np.asarray(dpos)[:, 0], atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(dpos_m)[:, 1], np.asarray(dpos)[:, 1], atol=1e-4)
