@@ -58,10 +58,22 @@ def _finger_slabs(
     return slabs
 
 
-def _object_prisms(contour: np.ndarray, height: float) -> Tuple[np.ndarray, list]:
-    """Ear-clip triangle prisms as the object's convex decomposition."""
+def _object_prisms(contour: np.ndarray, height: float,
+                   variant: str = "default") -> Tuple[np.ndarray, list]:
+    """Ear-clip triangle prisms as the object's convex decomposition.
+
+    ``variant="rolled"`` ear-clips the same polygon from a rolled start
+    vertex — a different (equally valid) triangulation of identical
+    geometry, used to measure how much of MuJoCo's deterministic signal
+    rides on the OBJECT decomposition's crack topology."""
     poly = ensure_ccw(dedupe_polygon(np.asarray(contour, dtype=np.float64)))
-    tris = ear_clip(poly)
+    if variant == "rolled":
+        n = len(poly)
+        r = n // 3
+        tris = [tuple((i + r) % n for i in t)
+                for t in ear_clip(np.roll(poly, -r, axis=0))]
+    else:
+        tris = ear_clip(poly)
     full = np.concatenate(
         [
             np.concatenate([poly, np.zeros((len(poly), 1))], -1),
@@ -95,6 +107,7 @@ def build_scene_xml_2d(
     contour: np.ndarray,
     num_slabs: int = 50,
     timestep: float = SIM.dt,
+    obj_variant: str = "default",
 ) -> str:
     g = GRIPPER_2D
     x_curve = np.linspace(g.ctrl_x_min, g.ctrl_x_max, g.num_curve_points)
@@ -117,7 +130,7 @@ def build_scene_xml_2d(
         assets.append(_mesh_xml(f"fingerr{i:03d}", v))
         geoms_r.append(f'<geom mesh="fingerr{i:03d}" type="mesh" class="collision"/>')
 
-    full_obj, prisms = _object_prisms(contour, OBJECT_2D.height)
+    full_obj, prisms = _object_prisms(contour, OBJECT_2D.height, obj_variant)
     assets.append(_mesh_xml("object", full_obj))
     for i, v in enumerate(prisms):
         assets.append(_mesh_xml(f"object{i:03d}", v))
@@ -172,12 +185,14 @@ def build_scene_xml_2d(
 class Oracle2D:
     """Run reference-equivalent MuJoCo rollouts for one gripper x object pair."""
 
-    def __init__(self, yl, yr, contour, num_slabs: int = 50, timestep: float = SIM.dt):
+    def __init__(self, yl, yr, contour, num_slabs: int = 50,
+                 timestep: float = SIM.dt, obj_variant: str = "default"):
         import mujoco
 
         self._mujoco = mujoco
         self.model = mujoco.MjModel.from_xml_string(
-            build_scene_xml_2d(yl, yr, contour, num_slabs, timestep)
+            build_scene_xml_2d(yl, yr, contour, num_slabs, timestep,
+                               obj_variant)
         )
         self.data = mujoco.MjData(self.model)
         self._reset_qpos = self.data.qpos.copy()

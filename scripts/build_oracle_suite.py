@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--num_slabs", type=int, default=50,
                     help="finger decomposition resolution (vary to measure "
                          "MuJoCo's own decomposition-noise ceiling)")
+    ap.add_argument("--obj_variant", default="default",
+                    help="object triangulation variant ('rolled' re-ear-clips "
+                         "from a rolled start vertex: same geometry, "
+                         "different crack topology)")
     args = ap.parse_args()
     os.makedirs(OUT, exist_ok=True)
 
@@ -46,7 +50,8 @@ def main():
         contour = extract_contours(suite_icon(i))
         # vary gripper independently of the object
         yl, yr = sample_gripper_2d(1000 + 7 * i)
-        oracle = Oracle2D(yl, yr, contour, num_slabs=args.num_slabs)
+        oracle = Oracle2D(yl, yr, contour, num_slabs=args.num_slabs,
+                          obj_variant=args.obj_variant)
         rows = [oracle.rollout(0.0, 0.0, th, steps=args.steps) for th in ths]
         contours.append(contour)
         yls.append(yl)

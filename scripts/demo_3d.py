@@ -38,7 +38,10 @@ N_GRIPPERS = 24
 # labels; the PointNet++ classifier needs more steps at demo scale
 DYN_STEPS = 1800
 DIFF_STEPS = 1200
-OBJECTIVES = ("rotate_clockwise", "rotate_counterclockwise", "shift_left")
+# shift_left is saturated on these demo objects (unguided success ~0.77 —
+# most random grippers already shift them left); shift_right leaves
+# guidance headroom
+OBJECTIVES = ("rotate_clockwise", "rotate_counterclockwise", "shift_right")
 GRID = 45          # guided_sample_3d.sh grid size
 EVAL_ROT = 90
 
