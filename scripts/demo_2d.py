@@ -179,6 +179,33 @@ def main():
     summary["guided"] = guided_summary
     summary["sim_eval_seconds_16x360x8000steps"] = eval_time
 
+    # ---- chirality check ---------------------------------------------------
+    # The demo icons are chiral: if counterclockwise underperforms clockwise,
+    # that is object physics, not a guidance asymmetry. Proof by symmetry:
+    # guiding ccw ON THE MIRRORED OBJECT must recover the cw success numbers
+    # (the sampler's exact-mirror property is separately unit-tested).
+    mirror_contour = (test_contour * np.asarray([-1.0, 1.0]))[::-1].copy()
+    obj_flat_m = jnp.asarray(mirror_contour.reshape(-1) / NORM.object_extent_2d)
+    scale = jnp.asarray(GUIDANCE.scale(False, "rotate_counterclockwise"))
+    samples_m = sampler.sample(
+        gstate.ema_params, cls_vars, noise, obj_flat_m,
+        "rotate_counterclockwise", scale
+    )
+    m_m = sim_eval_batch_2d(np.asarray(samples_m)[..., 0], [mirror_contour])
+    objs_m = objectives_table(m_m, "rotate_counterclockwise")
+    sr_m = float(np.mean([o["success_rate"] for o in objs_m]))
+    best_m = best_ids_all_metrics(objs_m, "rotate_counterclockwise")
+    summary["chirality_check"] = {
+        "ccw_on_mirrored_object_mean": sr_m,
+        "ccw_on_mirrored_object_best":
+            objs_m[best_m["success_rate"]]["success_rate"],
+        "cw_on_original_mean":
+            guided_summary["rotate_clockwise"]["guided_mean_success"],
+        "note": "equal-ish numbers attribute any cw/ccw gap to object "
+                "chirality (ratchet shapes), not guidance asymmetry",
+    }
+    print("chirality_check:", summary["chirality_check"], flush=True)
+
     with open(os.path.join(OUT, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print("DONE", flush=True)
