@@ -201,8 +201,10 @@ def main():
             objs_m[best_m["success_rate"]]["success_rate"],
         "cw_on_original_mean":
             guided_summary["rotate_clockwise"]["guided_mean_success"],
-        "note": "equal-ish numbers attribute any cw/ccw gap to object "
-                "chirality (ratchet shapes), not guidance asymmetry",
+        "note": "to the extent these match cw_on_original, the cw/ccw gap "
+                "is object chirality (ratchet shapes); a residual gap is "
+                "classifier capacity (the engine mirror symmetry itself is "
+                "exact, tests/test_engine2d.py)",
     }
     print("chirality_check:", summary["chirality_check"], flush=True)
 
