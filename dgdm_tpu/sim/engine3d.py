@@ -41,20 +41,21 @@ ROUGH3 = 0.0
 K_MULT3 = 1.0
 
 
-# Fitted for the coupled Newton solver (scripts/calibrate_engine3d.py
-# --solver newton, runs/calib/calib3d_newton2.json) against the 30-case
-# prism-oracle suite: train corr 0.559 / ratio 0.689 / agree 0.764, held-out
-# val corr 0.782 / ratio 0.819 / agree 0.874 (MuJoCo's own 12-vs-24-slab
-# decomposition self-agreement ceiling on this suite: corr 0.935).
+# Fitted for the coupled Newton solver by full-suite random search through
+# the fused Pallas kernel (scripts/search_calib_3d.py, 210 configs at ~1 s
+# each; runs/calib/calib3d_search.json) against the 30-case prism-oracle
+# suite: pooled corr 0.637 / median ratio 1.001 / agree 0.760 (MuJoCo's own
+# 12-vs-24-slab decomposition self-agreement ceiling: corr 0.935). The
+# earlier gradient fit (calib3d_newton2.json) had corr 0.62 / ratio 0.69.
 FITTED_3D_NEWTON = {
-    "mu_plane": 0.70347,
-    "mu_finger": 0.87478,
-    "mu_torsion": 0.0049994,
-    "k_contact": 13705.5,
-    "b_contact": 396.149,
-    "unload": 0.193468,
-    "rough": 40.1576,
-    "c_r": 0.0496869,
+    "mu_plane": 0.361532,
+    "mu_finger": 0.808524,
+    "mu_torsion": 0.00458153,
+    "k_contact": 16826.7,
+    "b_contact": 87.7423,
+    "unload": 0.210356,
+    "rough": 75.4587,
+    "c_r": 0.111469,
 }
 
 

@@ -1,0 +1,135 @@
+"""Random-search calibration of the 3D Newton engine on the full oracle
+suite, evaluated through the fused Pallas kernel (calibration parameters
+ride in the scene scalar arrays — no recompile between configs, ~1 s per
+config after the first).
+
+    python scripts/search_calib_3d.py --budget 150 --refine 60
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgdm_tpu.sim import engine3d, pallas3d
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "runs", "calib")
+
+RANGES = {
+    "mu_plane": (np.log10(0.7), 0.35),
+    "mu_finger": (np.log10(0.9), 0.35),
+    "mu_torsion": (np.log10(0.005), 0.6),
+    "k_contact": (np.log10(12000.0), 0.6),
+    "b_contact": (np.log10(400.0), 0.5),
+    "unload": (np.log10(0.2), 0.7),
+    "rough": (np.log10(40.0), 0.9),
+    "c_r": (np.log10(0.05), 0.6),
+}
+
+
+def cls(x, th=0.02):
+    return np.where(x > th, 2, np.where(x < -th, 0, 1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budget", type=int, default=150)
+    ap.add_argument("--refine", type=int, default=60)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=os.path.join(OUT, "calib3d_search.json"))
+    args = ap.parse_args()
+
+    d = np.load(os.path.join(OUT, "oracle3d_suite.npz"))
+    target = 0.5 * (d["delta_theta_s12"] + d["delta_theta_s24"])
+    mask = d["upright_s12"] & d["upright_s24"]
+    ths = d["thetas"]
+    steps = int(d["steps"])
+    scenes = []
+    for i in range(len(d["yl"])):
+        verts = d["verts"][i][: d["nv"][i]].astype(np.float64)
+        faces = d["faces"][i][: d["nf"][i]]
+        scenes.append(engine3d.make_scene(d["yl"][i], d["yr"][i], verts,
+                                          faces, num_points=256))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+
+    # pad the 16 suite thetas to one kernel LANE
+    n_pad = pallas3d.LANE
+    th_pad = np.zeros(n_pad, np.float32)
+    th_pad[: len(ths)] = ths
+    poses = jnp.asarray(np.stack([0 * th_pad, 0 * th_pad, th_pad], -1))
+
+    def eval_calib(vals):
+        calib = engine3d.default_calib3().replace(
+            **{k: jnp.float32(v) for k, v in vals.items()})
+        coefs, points, scal = pallas3d.scene_arrays_3d(stacked, calib=calib)
+        dth, _, _, valid, _ = pallas3d.profile_batch_pallas3d(
+            coefs, points, scal, poses, steps=steps, solver="newton")
+        return np.asarray(dth)[:, : len(ths)]
+
+    def score(en):
+        corrs, ratios, agrees = [], [], []
+        for i in range(en.shape[0]):
+            v = mask[i]
+            e, t = en[i][v], target[i][v]
+            if v.sum() < 6:
+                continue
+            agrees.append((cls(e) == cls(t)).mean())
+            if t.std() > 0.005:
+                c = np.corrcoef(e, t)[0, 1]
+                corrs.append(0.0 if not np.isfinite(c) else c)
+                ratios.append(e.std() / t.std())
+        c, r, a = np.mean(corrs), np.median(ratios), np.mean(agrees)
+        return (float(c + a - 0.5 * abs(np.log(max(r, 1e-6)))),
+                float(c), float(r), float(a))
+
+    rng = np.random.RandomState(args.seed)
+
+    def sample(center=None, shrink=1.0):
+        vals = {}
+        for k, (c, hw) in RANGES.items():
+            if center is not None:
+                c = np.log10(center[k])
+            vals[k] = float(10 ** (c + rng.uniform(-hw, hw) * shrink))
+        return vals
+
+    results = []
+    t0 = time.time()
+    seeds = [dict(engine3d.FITTED_3D_NEWTON)]
+    for trial in range(args.budget):
+        vals = seeds[trial] if trial < len(seeds) else sample()
+        en = eval_calib(vals)
+        if not np.isfinite(en).all():
+            continue
+        tot, c, r, a = score(en)
+        results.append((tot, c, r, a, vals))
+        results.sort(key=lambda x: -x[0])
+        if trial % 20 == 0 or (tot, c, r, a) == results[0][:4]:
+            print(f"[{trial:3d}] {time.time()-t0:5.0f}s best {results[0][0]:+.3f} "
+                  f"this corr {c:.3f} ratio {r:.2f} agree {a:.3f}", flush=True)
+    for trial in range(args.refine):
+        base = results[trial % min(3, len(results))][4]
+        vals = sample(center=base, shrink=0.25)
+        en = eval_calib(vals)
+        if not np.isfinite(en).all():
+            continue
+        tot, c, r, a = score(en)
+        results.append((tot, c, r, a, vals))
+        results.sort(key=lambda x: -x[0])
+    best = results[0]
+    out = {"fitted": best[4], "score": best[0], "corr": best[1],
+           "ratio": best[2], "agree": best[3],
+           "budget": args.budget + args.refine}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
