@@ -133,16 +133,24 @@ def measure_tpu_2d(num_pairs: int = 64, repeats: int = 2,
 
     from dgdm_tpu.sim import engine2d
 
+    # NOTE: engine2d.SOLVER is read at trace time. The Pallas path passes it
+    # down as a static jit arg (pallas2d.profile_batch_pallas), so flipping
+    # the flag re-traces correctly there; the pure-JAX engine path caches on
+    # shapes only, so same-shape calls after a flip could reuse a stale trace
+    # — bench always runs the Pallas path on TPU. try/finally guarantees the
+    # default is restored even if the run raises (the caller swallows errors).
     saved = engine2d.SOLVER
-    if solver is not None:
-        engine2d.SOLVER = solver
-    run, total = throughput_workload(num_pairs=num_pairs)
-    run()  # compile + warm
-    t0 = time.time()
-    for _ in range(repeats):
-        run()
-    rate = total * repeats / (time.time() - t0)
-    engine2d.SOLVER = saved
+    try:
+        if solver is not None:
+            engine2d.SOLVER = solver
+        run, total = throughput_workload(num_pairs=num_pairs)
+        run()  # compile + warm
+        t0 = time.time()
+        for _ in range(repeats):
+            run()
+        rate = total * repeats / (time.time() - t0)
+    finally:
+        engine2d.SOLVER = saved
     return rate
 
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dgdm_tpu.core.config import GUIDANCE, GUIDED_OBJECTIVES, NORM
+from dgdm_tpu.core.config import GUIDANCE, GUIDED_OBJECTIVES, NORM, SIM
 from dgdm_tpu.core.flags import build_parser
 from dgdm_tpu.design.guidance import GuidedSampler
 from dgdm_tpu.eval.metrics import best_ids_all_metrics
@@ -40,6 +40,8 @@ def load_test_objects(args):
     from dgdm_tpu.core.config import ICON_TEST_OBJECT_IDS
 
     ids = list(ICON_TEST_OBJECT_IDS)
+    if args.num_test_objects:
+        ids = ids[: args.num_test_objects]
     contours = []
     for oid in ids:
         img = (
@@ -59,6 +61,8 @@ def load_test_objects_3d(args):
     names_file = os.path.join(args.object_dir, "object_names_test.txt")
     with open(names_file) as f:
         names = [ln.strip() for ln in f if ln.strip()]
+    if args.num_test_objects:
+        names = names[: args.num_test_objects]
     meshes, clouds = [], []
     for name in names:
         verts, faces = mesh3d.load_obj(
@@ -146,6 +150,21 @@ def main(argv=None):
         num_inference_steps=args.num_inference_steps,
         pose_chunks=pose_chunks, mesh=mesh,
     )
+    ema_params = gstate.ema_params
+    if mesh is not None:
+        # orbax-restored arrays are committed to device 0; replicate them
+        # across the mesh so the sp sharding constraint can apply
+        from dgdm_tpu.parallel.mesh import replicate
+
+        ema_params = replicate(mesh, ema_params)
+        cls_vars = replicate(mesh, cls_vars)
+
+    # --eval_steps > 0 overrides the reference rollout length (8k 2D / 32k
+    # 3D) — used by tests to exercise the full CLI on tiny shapes
+    eval_kw = {}
+    if args.eval_steps:
+        eval_kw["total_steps"] = args.eval_steps
+        eval_kw["regrasp_every"] = max(1, args.eval_steps // 2)
 
     def sim_eval(samples, oi):
         if args.fingers_3d:
@@ -153,11 +172,11 @@ def main(argv=None):
 
             return sim_eval_batch_3d(
                 np.asarray(samples)[..., 0], [meshes[oi]],
-                num_rot=args.grid_size,
+                num_rot=args.grid_size, **eval_kw,
             )
         return sim_eval_batch_2d(
             np.asarray(samples)[..., 0], [contours[oi]],
-            num_rot=args.grid_size,
+            num_rot=args.grid_size, **eval_kw,
         )
 
     def table_entry(metrics, objective):
@@ -184,7 +203,11 @@ def main(argv=None):
 
     report = {}
     thr0 = NORM.threshold_std(args.fingers_3d)[0]
-    for objective in GUIDED_OBJECTIVES:
+    objectives = (
+        [o for o in args.objectives.split(",") if o]
+        if args.objectives else list(GUIDED_OBJECTIVES)
+    )
+    for objective in objectives:
         per_object = {}
         for oi, oid in enumerate(ids):
             scale = jnp.asarray(GUIDANCE.scale(args.fingers_3d, objective))
@@ -194,12 +217,13 @@ def main(argv=None):
                     cls_vars, unguided, obj_flats[oi], thr0
                 )
             samples = sampler.sample(
-                gstate.ema_params, cls_vars, noise, obj_flats[oi], objective,
+                ema_params, cls_vars, noise, obj_flats[oi], objective,
                 scale, centers=centers,
             )
             metrics = sim_eval(samples, oi)
+            te = table_entry(metrics, objective)
             per_object[str(oid)] = {
-                **table_entry(metrics, objective),
+                **te,
                 "unguided": table_entry(unguided_metrics[oi], objective),
             }
             np.save(
@@ -207,12 +231,14 @@ def main(argv=None):
                 np.asarray(samples),
             )
             if args.render_video and not args.fingers_3d:
-                # plots for the best-success gripper (reference logs wandb
-                # tables with these images, generator/diffusion.py:606-619)
+                # imagery for the best-success gripper (reference logs wandb
+                # tables with these images + a rollout video,
+                # generator/diffusion.py:606-619, dynamics/sim_test_mj.py:174-233)
                 from dgdm_tpu.eval import viz
                 from dgdm_tpu.geom.fingers import denormalize_y
+                from dgdm_tpu.sim import engine2d
 
-                bi = best.get("success_rate", 0)
+                bi = int(te["best_ids"].get("success_rate", 0))
                 yb = np.asarray(
                     denormalize_y(np.asarray(samples)[bi, :, 0])
                 )
@@ -225,6 +251,29 @@ def main(argv=None):
                 viz.visualize_finals(
                     metrics[bi]["final_theta"], stem + "_final.png"
                 )
+                # every-36th-orientation object silhouettes
+                # (dynamics/sim_test_mj.py:174-178 renders segmentation
+                # images for every 36th rotation)
+                sil_th = np.linspace(-1.0, 1.0, args.grid_size) * np.pi + np.pi
+                sil = np.stack([
+                    viz.render_object_silhouette(contours[oi], float(th))
+                    for th in sil_th[:: max(1, args.grid_size // 10)]
+                ])
+                np.save(stem + "_silhouettes.npy", sil)
+                # rollout video of the best gripper at the mid orientation
+                vid_steps = args.eval_steps or SIM.eval_steps_2d
+                scene = engine2d.make_scene(yb[:nn_], yb[nn_:], contours[oi])
+                tr = np.asarray(engine2d.rollout_trace(
+                    scene, jnp.array([0.0, 0.0, np.pi], jnp.float32),
+                    steps=vid_steps,
+                    every=max(1, vid_steps // 100),
+                    regrasp_every=eval_kw.get(
+                        "regrasp_every", SIM.eval_regrasp_2d),
+                ))
+                viz.rollout_video_2d(
+                    contours[oi], yb[:nn_], yb[nn_:], tr,
+                    stem + "_rollout.mp4", stride=1,
+                )
         entry = {"objects": per_object}
         # multi-object guided sampling: gradient averaged over ALL test
         # objects (reference guided_sample_multi_object, diffusion.py:621-709;
@@ -232,7 +281,7 @@ def main(argv=None):
         if objective != "convergence":
             scale = jnp.asarray(GUIDANCE.scale(args.fingers_3d, objective))
             msamples = sampler.sample_multi_object(
-                gstate.ema_params, cls_vars, noise, obj_flats, objective, scale
+                ema_params, cls_vars, noise, obj_flats, objective, scale
             )
             entry["multi_object"] = {
                 str(oid): table_entry(sim_eval(msamples, oi), objective)

@@ -43,6 +43,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--classifier_guidance", action="store_true")
     p.add_argument("--fingers_3d", action="store_true")
     p.add_argument("--render_video", action="store_true")
+    p.add_argument("--objectives", type=str, default="",
+                   help="comma-separated subset of the guided objectives "
+                        "(default: all 12, generator/diffusion.py:307)")
+    p.add_argument("--num_test_objects", type=int, default=0,
+                   help="limit the test-object set (0 = all)")
+    p.add_argument("--eval_steps", type=int, default=0,
+                   help="override sim-eval rollout length (0 = reference "
+                        "schedule: 8k steps 2D / 32k 3D)")
     p.add_argument("--seed", type=int, default=0)
     # new (TPU-native) knobs
     p.add_argument("--pairs_per_batch", type=int, default=32,

@@ -89,7 +89,8 @@ FITTED_2D = {
 
 # Fitted for the coupled Newton solver by full-suite random search + local
 # refinement (scripts/search_calib_2d.py; runs/calib/calib2d_newton_final.json)
-# at 6 Newton iters / 2-point line search: pooled suite corr 0.336 /
+# at the shipped configuration (5 Newton iters, 2 step candidates + monotone
+# current-u fallback): pooled suite corr 0.336 /
 # median ratio 0.998 / class agreement 0.631. Versus the Jacobi fit
 # (corr 0.403 / ratio 0.617 / agree 0.616): correlation comparable,
 # MAGNITUDE now at parity — the 0.62x under-rotation biased every
@@ -537,8 +538,9 @@ def step_newton(scene: Scene2D, state: State2D, ctrl: jnp.ndarray,
     regularizer R = (1-d)/d * A_ii, where the calibrated ``c_r`` additionally
     absorbs the reference's decomposition multiplicity (many overlapping geom
     pairs per physical patch). The minimizer is found by damped Newton on the
-    piecewise-quadratic energy: 5x5 PD solves, a 3-point backtracking line
-    search, friction cone caps lagged one iteration. Unlike the Jacobi path
+    piecewise-quadratic energy: 5x5 PD solves, a backtracking line search
+    over two step candidates (full and half Newton step) plus the monotone
+    current-u fallback (_LS_ALPHAS), friction cone caps lagged one iteration. Unlike the Jacobi path
     (``step_jacobi``) there is no explicit elastic term and no global energy
     clamp — the sustained multi-contact wedge equilibrium is the exact
     minimizer of the energy, which is the regime that decides interaction
@@ -683,9 +685,12 @@ def step_newton(scene: Scene2D, state: State2D, ctrl: jnp.ndarray,
         u_new = cands[jnp.argmin(evals)]
         return u_new, None
 
-    # no-contact fast phase (see engine3d): the kernel runs a 2-iteration
-    # plane-friction-only solve while the fingers travel; with zero active
-    # contacts the full iteration degenerates to that subproblem.
+    # no-contact fast phase (see engine3d): with zero active contacts the
+    # full iteration degenerates to the plane-friction-only subproblem, so 2
+    # iterations suffice. NOTE: the engine gates per pose; the Pallas kernel
+    # gates per 128-lane block (any contacting lane runs the full solve for
+    # the whole block) — results agree at convergence, only the cost saving
+    # is block-granular there.
     any_f = jnp.sum(act) > 0.0
     nit = jnp.where(any_f, NEWTON_ITERS, 2)
 

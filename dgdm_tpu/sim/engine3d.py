@@ -50,6 +50,11 @@ K_MULT3 = 1.0
 FITTED_3D_NEWTON = {
     "mu_plane": 0.361532,
     "mu_finger": 0.808524,
+    # NOTE: mu_torsion is INERT in the 3D Newton path — torsional plane
+    # friction (oracle condim=4) is supplied implicitly by the multi-point
+    # patch contacts, and neither engine3d nor pallas3d reads calib.mu_torsion
+    # in the Newton solve. The value below is a fitted no-op retained for
+    # Calib-struct compatibility; it is excluded from the calibration search.
     "mu_torsion": 0.00458153,
     "k_contact": 16826.7,
     "b_contact": 87.7423,
@@ -640,11 +645,12 @@ def step_newton3(
         evals = jax.vmap(lambda uu: energy(uu, cap_t))(cands)
         return cands[jnp.argmin(evals)], None
 
-    # no-finger-contact fast phase: the Pallas kernel solves the plane-row
-    # subproblem with 3 iterations during the drop/travel phase (~80% of a
-    # squeeze); with no finger contacts the full iteration reduces to exactly
-    # that subproblem, so capping the effective iteration count here keeps
-    # engine and kernel semantics aligned.
+    # no-finger-contact fast phase: with no finger contacts the full
+    # iteration reduces to exactly the plane-row subproblem, so 3 iterations
+    # suffice during the drop/travel phase (~80% of a squeeze). NOTE: this
+    # engine gates per pose; the Pallas kernel gates per 128-lane block (one
+    # contacting lane runs the full solve for the whole block) — converged
+    # results agree, only the cost saving is block-granular there.
     any_f = jnp.sum(act[:2]) > 0.0
     nit = jnp.where(any_f, NEWTON_ITERS3, 3)
 

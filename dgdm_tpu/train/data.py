@@ -80,7 +80,17 @@ def mirror_rows_2d(rows: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     n, f = obj.shape
     verts = obj.reshape(n, f // 2, 2).copy()
     verts[..., 0] *= -1.0
-    verts = verts[:, ::-1, :]
+    # Reverse only the REAL-vertex prefix: normalize_record_2d zero-pads the
+    # contour tail to object_max_num_vertices, and a full-axis flip would move
+    # that padding to the front, changing the layout convention the classifier
+    # sees. Padding rows are exactly (0, 0); real contour vertices are
+    # (measure-zero) never exactly the origin.
+    nonzero = np.any(verts != 0.0, axis=-1)                       # (n, V)
+    v = verts.shape[1]
+    nv = np.where(nonzero.any(1), v - np.argmax(nonzero[:, ::-1], 1), 0)
+    ar = np.arange(v)[None, :]
+    idx = np.where(ar < nv[:, None], nv[:, None] - 1 - ar, ar)
+    verts = np.take_along_axis(verts, idx[..., None], axis=1)
     score = rows["score"] * np.asarray([-1.0, -1.0, 1.0], np.float32)
     pos = rows["pos"] * np.asarray([-1.0, 1.0], np.float32)
     return {

@@ -25,7 +25,8 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "runs", "calib")
 RANGES = {
     "mu_plane": (np.log10(0.7), 0.35),
     "mu_finger": (np.log10(0.9), 0.35),
-    "mu_torsion": (np.log10(0.005), 0.6),
+    # mu_torsion intentionally absent: inert in the Newton path (patch
+    # contacts supply effective torsion; see engine3d.FITTED_3D_NEWTON note)
     "k_contact": (np.log10(12000.0), 0.6),
     "b_contact": (np.log10(400.0), 0.5),
     "unload": (np.log10(0.2), 0.7),

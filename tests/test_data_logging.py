@@ -37,3 +37,33 @@ def test_metric_sink_jsonl(tmp_path):
     lines = [json.loads(l) for l in open(sink.path)]
     assert lines[0]["loss"] == 1.5 and lines[0]["step"] == 3
     assert lines[1]["loss"] == 0.5
+
+
+def test_mirror_rows_preserves_padding_layout():
+    """mirror_rows_2d must reverse only the real-vertex prefix: zero padding
+    appended by normalize_record_2d stays at the TAIL of the mirrored row
+    (ADVICE r2: a full-axis flip moved it to the front)."""
+    from dgdm_tpu.train.data import mirror_rows_2d
+
+    rng = np.random.RandomState(0)
+    nv, vmax = 6, 10
+    verts = np.zeros((vmax, 2), np.float32)
+    verts[:nv] = rng.uniform(-1, 1, (nv, 2))
+    rows = {
+        "ctrl": rng.uniform(-1, 1, (1, 14)).astype(np.float32),
+        "ori": np.zeros((1, 1), np.float32),
+        "pos": rng.uniform(-1, 1, (1, 2)).astype(np.float32),
+        "obj": verts.reshape(1, -1),
+        "score": rng.randn(1, 3).astype(np.float32),
+    }
+    m = mirror_rows_2d(rows)
+    mv = m["obj"].reshape(vmax, 2)
+    # padding still at the tail
+    assert (mv[nv:] == 0).all()
+    # prefix is the x-flipped, order-reversed real contour
+    expect = (verts[:nv] * np.asarray([-1.0, 1.0]))[::-1]
+    np.testing.assert_allclose(mv[:nv], expect, atol=1e-7)
+    # involution on the real prefix: mirroring twice restores the input
+    m2 = mirror_rows_2d(m)
+    np.testing.assert_allclose(
+        m2["obj"].reshape(vmax, 2), verts, atol=1e-7)

@@ -1,0 +1,80 @@
+"""Full sample-CLI smoke test on tiny shapes, covering the --render_video
+branch (the reference's wandb-table imagery + rollout-video path,
+generator/diffusion.py:606-619, dynamics/sim_test_mj.py:174-233).
+
+Regression test for the round-2 NameError: cli/sample.py's render branch
+referenced a variable local to table_entry.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgdm_tpu.cli import sample as sample_cli
+from dgdm_tpu.models.profile2d import ProfileForward2D
+from dgdm_tpu.models.unet1d import ConditionalUnet1D
+from dgdm_tpu.train import checkpoints
+from dgdm_tpu.train.dynamics import DynamicsTrainer
+from dgdm_tpu.train.generator import GeneratorTrainer
+
+
+@pytest.mark.slow
+def test_sample_cli_render_video(tmp_path):
+    # checkpoints structurally identical to what the CLI constructs
+    # (default widths, ctrlpts_dim=14, object_ch=200)
+    unet = ConditionalUnet1D(input_dim=1)
+    classifier = ProfileForward2D(params_ch=14, object_ch=200)
+    gtr = GeneratorTrainer(unet, num_train_timesteps=15)
+    dtr = DynamicsTrainer(classifier, num_train_timesteps=15)
+    b = 2
+    gstate = gtr.init(jax.random.PRNGKey(0), jnp.zeros((b, 14, 1)))
+    ex = {
+        "ctrl": jnp.zeros((2, 14)),
+        "ori": jnp.zeros((2, 1)),
+        "pos": jnp.zeros((2, 2)),
+        "obj": jnp.zeros((2, 200)),
+        "score": jnp.zeros((2, 3)),
+    }
+    dstate = dtr.init(jax.random.PRNGKey(0), ex)
+    gdir = str(tmp_path / "gckpt")
+    ddir = str(tmp_path / "dckpt")
+    checkpoints.save(gdir, gstate)
+    checkpoints.save(ddir, dstate)
+
+    save_dir = str(tmp_path / "out")
+    sample_cli.main([
+        "--diffusion_checkpoint_path", gdir,
+        "--checkpoint_path", ddir,
+        "--save_dir", save_dir,
+        "--batch_size", str(b),
+        "--grid_size", "8",
+        "--num_pos", "1",
+        "--sub_bs", "8",
+        "--objectives", "rotate",
+        "--num_test_objects", "1",
+        "--eval_steps", "60",
+        "--render_video",
+    ])
+
+    with open(os.path.join(save_dir, "guided_report.json")) as f:
+        report = json.load(f)
+    assert "rotate" in report
+    objs = report["rotate"]["objects"]
+    assert len(objs) == 1
+    (entry,) = objs.values()
+    assert "best_ids" in entry and "unguided" in entry
+    assert "multi_object" in report["rotate"]
+
+    stem = os.path.join(save_dir, "rotate_10000")
+    for suffix in ("_gripper.png", "_profile.png", "_final.png",
+                   "_silhouettes.npy"):
+        assert os.path.exists(stem + suffix), suffix
+    # video falls back to GIF when no mp4 backend is available
+    assert (os.path.exists(stem + "_rollout.mp4")
+            or os.path.exists(stem + "_rollout.gif"))
+    sil = np.load(stem + "_silhouettes.npy")
+    assert sil.ndim == 3 and sil.any()
