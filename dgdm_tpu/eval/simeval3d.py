@@ -77,13 +77,22 @@ def sim_eval_batch_3d(
     th3 = NORM.threshold_3d
 
     use_pallas = jax.default_backend() == "tpu"
+    from dgdm_tpu.parallel import mesh as meshlib
+
     results = []
     for verts, faces in objects:
+        # object host work shared across the gripper batch
+        obj_props = engine3d.object_properties_3d(verts, faces)
         scenes = [
-            engine3d.make_scene(y[i, :n], y[i, n:], verts, faces)
+            engine3d.make_scene(y[i, :n], y[i, n:], verts, faces,
+                                obj_props=obj_props)
             for i in range(b)
         ]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+        # grippers dp-shard over the device mesh (like the 2D datagen path)
+        mesh = meshlib.data_parallel_mesh()
+        if mesh is not None and b % mesh.shape["dp"] != 0:
+            mesh = None
         if use_pallas:
             from dgdm_tpu.sim import pallas3d
 
@@ -96,19 +105,29 @@ def sim_eval_batch_3d(
                 [np.zeros_like(th_p), np.zeros_like(th_p), th_p], -1
             )
             arrs = pallas3d.scene_arrays_3d(stacked)
-            dth_, sdpos_, fth_, _valid, fpos_ = (
-                pallas3d.profile_batch_pallas3d(
-                    *arrs, jnp.asarray(poses),
-                    steps=total_steps, regrasp_every=regrasp_every,
-                    snapshot_step=regrasp_every,
-                )
+            kernel = lambda *a: pallas3d.profile_batch_pallas3d(
+                *a, jnp.asarray(poses),
+                steps=total_steps, regrasp_every=regrasp_every,
+                snapshot_step=regrasp_every,
             )
+            if mesh is not None:
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                kernel = shard_map(
+                    kernel, mesh=mesh,
+                    in_specs=(P("dp"), P("dp"), P("dp")),
+                    out_specs=P("dp"), check_rep=False,
+                )
+            dth_, sdpos_, fth_, _valid, fpos_ = kernel(*arrs)
             d_theta = np.asarray(dth_)[:, :nr]
             d_pos = np.asarray(sdpos_)[:, :nr]
             f_theta = np.asarray(fth_)[:, :nr]
             # eval poses start at the origin: final delta == absolute origin
             f_pos = np.asarray(fpos_)[:, :nr]
         else:
+            if mesh is not None:
+                stacked = meshlib.shard_batch(mesh, stacked, "dp")
             d_theta, d_pos, f_theta, f_pos = jax.tree.map(
                 np.asarray,
                 eval_rollout_batch_3d(

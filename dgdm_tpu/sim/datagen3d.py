@@ -49,6 +49,74 @@ def surface_points_3d(yl: np.ndarray, yr: np.ndarray,
     return np.concatenate(out, 0)
 
 
+def profile_pairs_3d(
+    stacked,
+    poses: np.ndarray,
+    steps: int = SIM.steps_3d,
+    pose_chunk: int = 450,
+    use_pallas: bool = True,
+):
+    """Full pose grid for a stacked 3D scene batch -> (dth, dpos, valid),
+    each (B, N). Pairs dp-shard over the device mesh exactly like the 2D
+    path (sim/datagen.py) — the reference fanned 3D out over Ray identically
+    (sim/run_sim_3d.sh)."""
+    n = poses.shape[0]
+    if jax.default_backend() != "tpu":
+        use_pallas = False  # Mosaic kernels compile on TPU only
+    b = next(iter(jax.tree.leaves(stacked))).shape[0]
+    from dgdm_tpu.parallel import mesh as meshlib
+
+    mesh = meshlib.data_parallel_mesh()
+    if mesh is not None and b % mesh.shape["dp"] != 0:
+        mesh = None  # uneven pair block: fall back to single-device
+
+    if use_pallas:
+        from dgdm_tpu.sim import pallas3d
+
+        pad = (-n) % pallas3d.LANE
+        poses_p = (
+            np.concatenate(
+                [poses, np.broadcast_to(poses[-1], (pad,) + poses.shape[1:])],
+                0,
+            )
+            if pad
+            else poses
+        )
+        arrs = pallas3d.scene_arrays_3d(stacked)
+        if mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            poses_j = jnp.asarray(poses_p)
+            fn = shard_map(
+                lambda *a: pallas3d.profile_batch_pallas3d(
+                    *a, poses_j, steps=steps),
+                mesh=mesh,
+                in_specs=(P("dp"), P("dp"), P("dp")),
+                out_specs=P("dp"),
+                check_rep=False,
+            )
+            o = fn(*arrs)
+        else:
+            o = pallas3d.profile_batch_pallas3d(
+                *arrs, jnp.asarray(poses_p), steps=steps
+            )
+        return (np.asarray(o[0])[:, :n], np.asarray(o[1])[:, :n],
+                np.asarray(o[3])[:, :n])
+
+    if mesh is not None:
+        stacked = meshlib.shard_batch(mesh, stacked, "dp")
+    dth, dpos, valid = [], [], []
+    for lo in range(0, n, pose_chunk):
+        block = jnp.asarray(poses[lo : lo + pose_chunk])
+        o = engine3d.profile_batch(stacked, block, steps=steps)
+        dth.append(np.asarray(o[0]))
+        dpos.append(np.asarray(o[1]))
+        valid.append(np.asarray(o[3]))
+    return (np.concatenate(dth, 1), np.concatenate(dpos, 1),
+            np.concatenate(valid, 1))
+
+
 def generate_3d(
     object_idx: int,
     object_name: str,
@@ -64,41 +132,16 @@ def generate_3d(
     """Profiles for one object x a block of grippers. Entries are None for
     pairs that tipped the object over (reference give-up)."""
     grips = [sample_gripper_3d(i) for i in gripper_indices]
-    scenes = [engine3d.make_scene(yl, yr, verts, faces) for yl, yr in grips]
+    # object host work (mass integration + surface sampling) once per block,
+    # not once per gripper — small-batch datagen was host-dominated
+    obj_props = engine3d.object_properties_3d(verts, faces)
+    scenes = [engine3d.make_scene(yl, yr, verts, faces, obj_props=obj_props)
+              for yl, yr in grips]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
     poses = pose_grid(grid_size=grid_size, num_pos=num_pos)
-
-    if jax.default_backend() == "tpu":
-        from dgdm_tpu.sim import pallas3d
-
-        pad = (-poses.shape[0]) % pallas3d.LANE
-        poses_p = (
-            np.concatenate(
-                [poses, np.broadcast_to(poses[-1], (pad,) + poses.shape[1:])], 0
-            )
-            if pad
-            else poses
-        )
-        arrs = pallas3d.scene_arrays_3d(stacked)
-        o = pallas3d.profile_batch_pallas3d(
-            *arrs, jnp.asarray(poses_p), steps=steps
-        )
-        n = poses.shape[0]
-        dth = np.asarray(o[0])[:, :n]
-        dpos = np.asarray(o[1])[:, :n]
-        valid = np.asarray(o[3])[:, :n]
-    else:
-        dth, dpos, fth, valid = [], [], [], []
-        for lo in range(0, poses.shape[0], pose_chunk):
-            block = jnp.asarray(poses[lo : lo + pose_chunk])
-            o = engine3d.profile_batch(stacked, block, steps=steps)
-            dth.append(np.asarray(o[0]))
-            dpos.append(np.asarray(o[1]))
-            fth.append(np.asarray(o[2]))
-            valid.append(np.asarray(o[3]))
-        dth = np.concatenate(dth, 1)
-        dpos = np.concatenate(dpos, 1)
-        valid = np.concatenate(valid, 1)
+    dth, dpos, valid = profile_pairs_3d(
+        stacked, poses, steps=steps, pose_chunk=pose_chunk
+    )
 
     records: List[Optional[Dict[str, np.ndarray]]] = []
     theta0 = poses[:, 2].astype(np.float32)

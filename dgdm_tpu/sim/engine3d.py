@@ -155,6 +155,21 @@ def _bilerp(grid: jnp.ndarray, x: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
             + wx * ((1 - wz) * g10 + wz * g11))
 
 
+def object_properties_3d(verts: np.ndarray, faces: np.ndarray,
+                         num_points: int = 256, seed: int = 0):
+    """Object-side host work of make_scene (mass/inertia integration +
+    surface point sampling). Compute ONCE per object and pass to make_scene
+    via ``obj_props`` when building a gripper block — the per-pair recompute
+    dominated small-batch 3D datagen (VERDICT r2 weak #5)."""
+    from dgdm_tpu.geom import mesh3d
+
+    mass, com, inertia = mesh3d.mass_properties(verts, faces, SIM.density)
+    mass *= SIM.mass_factor
+    inertia = inertia * SIM.mass_factor
+    pts = mesh3d.sample_surface(verts, faces, num_points, seed=seed)
+    return mass, com, inertia, pts
+
+
 def make_scene(
     yl: np.ndarray,
     yr: np.ndarray,
@@ -162,6 +177,7 @@ def make_scene(
     faces: np.ndarray,
     num_points: int = 256,
     seed: int = 0,
+    obj_props=None,
 ) -> Scene3D:
     """yl/yr: (21,) finger ctrl y values (x-major grid order); verts/faces:
     the object mesh (watertight).
@@ -170,17 +186,14 @@ def make_scene(
     clouds are sampled separately, train/data.py). 256 is the calibrated
     default — fidelity statistics were fitted at this density and the fused
     kernel runs 2.2x faster than at 512."""
-    from dgdm_tpu.geom import mesh3d
-
     g = GRIPPER_3D
     hgrid = bake_height_grids(yl, yr)
     # the oracle body = visual + collision copies of the same (hulled) mesh:
     # exactly 2x the mesh mass for convex objects (scan objects are used via
     # their V-HACD hulls in the reference too)
-    mass, com, inertia = mesh3d.mass_properties(verts, faces, SIM.density)
-    mass *= SIM.mass_factor
-    inertia = inertia * SIM.mass_factor
-    pts = mesh3d.sample_surface(verts, faces, num_points, seed=seed)
+    if obj_props is None:
+        obj_props = object_properties_3d(verts, faces, num_points, seed)
+    mass, com, inertia, pts = obj_props
     fmass = finger_masses_3d(yl, yr)
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
     return Scene3D(

@@ -70,6 +70,10 @@ def main():
     ap.add_argument("--refine", type=int, default=40)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=os.path.join(OUT, "calib2d_search.json"))
+    ap.add_argument("--val_frac", type=float, default=1 / 3,
+                    help="held-out fraction of suite cases: the fit scores "
+                         "on train only; val stats reported for the final "
+                         "constants (VERDICT r2 item 8)")
     args = ap.parse_args()
     engine2d.SOLVER = "newton"
 
@@ -102,6 +106,17 @@ def main():
     def make_calib(vals):
         return engine2d.Calib(**{k: jnp.float32(v) for k, v in vals.items()})
 
+    # held-out split: fit on ~2/3 of the suite cases, validate on the rest
+    n_cases = target.shape[0]
+    perm = np.random.RandomState(7).permutation(n_cases)
+    n_val = int(round(args.val_frac * n_cases))
+    val_idx = np.sort(perm[:n_val])
+    tr_idx = np.sort(perm[n_val:])
+    print(f"split: {len(tr_idx)} train / {len(val_idx)} val cases")
+
+    def score_subset(en, idx):
+        return score(en[idx], target[idx], sig_mask[idx])
+
     results = []
     t0 = time.time()
     # include current fitted tables as seeds
@@ -111,8 +126,8 @@ def main():
         en = np.asarray(fn(make_calib(vals)))
         if not np.isfinite(en).all():
             continue
-        tot, c, r, a = score(en, target, sig_mask)
-        results.append((tot, c, r, a, vals))
+        tot, c, r, a = score_subset(en, tr_idx)
+        results.append((tot, c, r, a, vals, en))
         if trial % 10 == 0 or tot >= max(x[0] for x in results):
             print(f"[{trial:3d}] {time.time()-t0:6.0f}s score {tot:+.3f} "
                   f"corr {c:.3f} ratio {r:.2f} agree {a:.3f}", flush=True)
@@ -129,21 +144,31 @@ def main():
         en = np.asarray(fn(make_calib(vals)))
         if not np.isfinite(en).all():
             continue
-        tot, c, r, a = score(en, target, sig_mask)
-        results.append((tot, c, r, a, vals))
+        tot, c, r, a = score_subset(en, tr_idx)
+        results.append((tot, c, r, a, vals, en))
         if tot >= results[0][0]:
             print(f"[refine {trial:3d}] score {tot:+.3f} corr {c:.3f} "
                   f"ratio {r:.2f} agree {a:.3f}", flush=True)
         results.sort(key=lambda x: -x[0])
 
     best = results[0]
+    vt, vc, vr, va = score_subset(best[5], val_idx)
+    ft, fc, fr, fa = score(best[5], target, sig_mask)
+    print(f"train score {best[0]:+.3f} corr {best[1]:.3f} ratio {best[2]:.2f}"
+          f" agree {best[3]:.3f}")
+    print(f"val   score {vt:+.3f} corr {vc:.3f} ratio {vr:.2f} agree {va:.3f}")
     out = {
         "fitted": best[4],
-        "score": best[0], "corr": best[1], "ratio": best[2], "agree": best[3],
+        "train": {"cases": len(tr_idx), "score": best[0], "corr": best[1],
+                  "ratio": best[2], "agree": best[3]},
+        "val": {"cases": len(val_idx), "score": vt, "corr": vc, "ratio": vr,
+                "agree": va},
+        "full": {"score": ft, "corr": fc, "ratio": fr, "agree": fa},
+        "score": ft, "corr": fc, "ratio": fr, "agree": fa,
         "budget": args.budget + args.refine,
         "top5": [
             {"score": t, "corr": c, "ratio": r, "agree": a, "vals": v}
-            for t, c, r, a, v in results[:5]
+            for t, c, r, a, v, _ in results[:5]
         ],
     }
     with open(args.out, "w") as f:

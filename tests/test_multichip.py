@@ -181,3 +181,61 @@ def test_guided_sampler_mesh_parity():
     out = np.asarray(sharded.sample(
         unet_params, cls_vars, noise, obj, "shift_up", jnp.float32(0.01)))
     np.testing.assert_allclose(ref, out, atol=2e-6)
+
+
+def _box_scene_batch_3d(b=8):
+    from dgdm_tpu.geom.fingers import sample_gripper_3d
+    from dgdm_tpu.geom.mesh3d import box_mesh
+    from dgdm_tpu.sim import engine3d
+
+    verts, faces = box_mesh()
+    obj_props = engine3d.object_properties_3d(verts, faces)
+    scenes = [
+        engine3d.make_scene(*sample_gripper_3d(i), verts, faces,
+                            obj_props=obj_props)
+        for i in range(b)
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+
+
+def test_profile_pairs_3d_shards_dp():
+    """3D datagen pairs dp-shard over the mesh and match the unsharded
+    engine result (VERDICT r2 item 6: the 3D analog of sim/datagen.py's
+    shard_map path)."""
+    from dgdm_tpu.sim import engine3d
+    from dgdm_tpu.sim.datagen3d import profile_pairs_3d
+
+    stacked = _box_scene_batch_3d(8)
+    poses = np.stack([np.zeros(4), np.zeros(4),
+                      np.linspace(0, 2 * np.pi, 4, endpoint=False)],
+                     -1).astype(np.float32)
+
+    ref = engine3d.profile_batch(stacked, jnp.asarray(poses), steps=30)
+    dth, dpos, valid = profile_pairs_3d(stacked, poses, steps=30,
+                                        pose_chunk=4)
+    np.testing.assert_allclose(np.asarray(ref[0]), dth, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref[1]), dpos, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref[3]), valid, atol=0)
+
+
+def test_sim_eval_batch_3d_shards_dp(monkeypatch):
+    """3D sim-eval grippers dp-shard; results match the single-device path."""
+    from dgdm_tpu.eval import simeval3d
+    from dgdm_tpu.geom.mesh3d import box_mesh
+    from dgdm_tpu.parallel import mesh as pm
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-0.5, 0.5, (8, 42)).astype(np.float32)
+    objects = [box_mesh()]
+
+    sharded = simeval3d.sim_eval_batch_3d(
+        pts, objects, num_rot=4, total_steps=40, regrasp_every=20)
+
+    monkeypatch.setattr(pm, "data_parallel_mesh", lambda *a, **k: None)
+    single = simeval3d.sim_eval_batch_3d(
+        pts, objects, num_rot=4, total_steps=40, regrasp_every=20)
+
+    assert len(sharded) == len(single) == 8
+    for s, r in zip(sharded, single):
+        for k in s:
+            np.testing.assert_allclose(s[k], r[k], atol=1e-4, err_msg=k)
