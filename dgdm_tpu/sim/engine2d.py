@@ -89,8 +89,8 @@ FITTED_2D = {
 
 # Fitted for the coupled Newton solver by full-suite random search + local
 # refinement (scripts/search_calib_2d.py; runs/calib/calib2d_newton_final.json)
-# at the shipped configuration (5 Newton iters, 2 step candidates + monotone
-# current-u fallback): pooled suite corr 0.336 /
+# at the shipped configuration (Newton iters per NEWTON_ITERS, 2 step
+# candidates + monotone current-u fallback): pooled suite corr 0.336 /
 # median ratio 0.998 / class agreement 0.631. Versus the Jacobi fit
 # (corr 0.403 / ratio 0.617 / agree 0.616): correlation comparable,
 # MAGNITUDE now at parity — the 0.62x under-rotation biased every
@@ -513,11 +513,13 @@ def step_jacobi(scene: Scene2D, state: State2D, ctrl: jnp.ndarray,
     return new
 
 
-# 5 iterations + 2-point line search measured statistically identical to
-# 8 + 3-point on the oracle suite (corr 0.339/0.330, ratio 0.978/0.996,
-# agree 0.628/0.630 for 5/6 iters); the Pallas kernel unrolls exactly this
-# configuration. Dropping the 0.5-step candidate is NOT safe (ratio 1.38).
-NEWTON_ITERS = 5
+# 4 iterations + 2-point line search: suite-identical to 5 within noise
+# (scripts/sweep_newton_iters_2d.py round 3: corr 0.321/0.338, ratio
+# 0.962/1.007, agree equal) and to 8 + 3-point (round-2 measurements); the
+# Pallas kernel unrolls exactly this configuration
+# (pallas2d.NEWTON_KERNEL_ITERS). Dropping the 0.5-step candidate is NOT
+# safe (ratio 1.38); 3 iterations drift (ratio 1.07, agree -0.011).
+NEWTON_ITERS = 4
 _LS_ALPHAS = (1.0, 0.5)
 
 

@@ -37,6 +37,16 @@ from dgdm_tpu.sim.engine2d import (
 )
 
 LANE = 128
+# Newton iterations in the full-contact solve (static; also a jit arg on
+# profile_batch_pallas). 4 matches the 5-iteration oracle-suite fidelity
+# within noise (scripts/sweep_newton_iters_2d.py: corr 0.321/0.338, ratio
+# 0.962/1.007, agree equal) at +16% datagen throughput; engine2d uses the
+# same count. NOTE a warm start was tried and REJECTED: priming the primal
+# from the previous step's impulse correction over-rotates 5x (stale
+# corrections pump energy through the lagged cones), and warm-starting only
+# the friction caps under-brakes (ratio 1.65) because the fitted constants
+# were calibrated against the cold-start lagged-cone transient.
+NEWTON_KERNEL_ITERS = 4
 
 
 def _segment_coefs(coef_ref, finger: int, seg: jnp.ndarray):
@@ -81,6 +91,7 @@ def _rollout_kernel(
     ctrl_mag: float,
     snapshot_step: int,
     solver: str = "jacobi",
+    newton_iters: int = NEWTON_KERNEL_ITERS,
 ):
     g = GRIPPER_2D
     x0f, x1f = g.ctrl_x_min, g.ctrl_x_max
@@ -145,54 +156,62 @@ def _rollout_kernel(
             vz = jnp.where(do_rg, 0.0, vz)
 
         c, s = jnp.cos(th), jnp.sin(th)            # (1, L)
-        # world lever arms of contour points: (P, L)
-        rx = cbx * c - cby * s
-        ry = cbx * s + cby * c
-        px = cx + rx
-        py = cy + ry
 
-        x_in = (px >= x0f) & (px <= x1f)
-        xc = jnp.clip(px, x0f, x1f)
-        seg = jnp.clip(
-            ((xc - x0f) * (1.0 / h)).astype(jnp.int32), 0, g.num_ctrl - 2
-        )
-        t_loc = xc - (x0f + seg.astype(jnp.float32) * h)
+        def contact_geometry():
+            """Full narrow-phase contact set against both finger curves —
+            the dominant (P, L) per-step cost. In the Newton path this runs
+            only inside the full-solve branch of the lax.cond, gated by the
+            conservative broad-phase bound (scal slots 14/15); the
+            drop/travel phase skips it entirely."""
+            # world lever arms of contour points: (P, L)
+            rx = cbx * c - cby * s
+            ry = cbx * s + cby * c
+            px = cx + rx
+            py = cy + ry
 
-        f_val = []
-        d_val = []
-        for fi in range(2):
-            c3, c2, c1, c0_ = None, None, None, None
-            cs = _segment_coefs(coef_ref, fi, seg)
-            c0_, c1, c2, c3 = cs
-            val = ((c3 * t_loc + c2) * t_loc + c1) * t_loc + c0_
-            der = (3.0 * c3 * t_loc + 2.0 * c2) * t_loc + c1
-            f_val.append(val)
-            d_val.append(der)
+            x_in = (px >= x0f) & (px <= x1f)
+            xc = jnp.clip(px, x0f, x1f)
+            seg = jnp.clip(
+                ((xc - x0f) * (1.0 / h)).astype(jnp.int32), 0, g.num_ctrl - 2
+            )
+            t_loc = xc - (x0f + seg.astype(jnp.float32) * h)
 
-        surf_l = (-g.jaw_offset + g.width) + ql + f_val[0]
-        surf_r = g.jaw_offset + qr + f_val[1]
-        inv_l = jax.lax.rsqrt(1.0 + d_val[0] * d_val[0])
-        inv_r = jax.lax.rsqrt(1.0 + d_val[1] * d_val[1])
-        depth_l = (surf_l - py) * inv_l
-        depth_r = (py - surf_r) * inv_r
-        # a point can never contact BOTH fingers (the closed jaws stay >1 cm
-        # apart), so the two finger contact sets merge into one: pick the
-        # deeper candidate per point — halves the solver work
-        is_l = depth_l > depth_r
-        is_lf = is_l.astype(jnp.float32)
-        depth = jnp.where(is_l, depth_l, depth_r)
-        nx = jnp.where(is_l, -d_val[0] * inv_l, d_val[1] * inv_r)
-        ny = jnp.where(is_l, inv_l, -inv_r)
-        act = ((depth > 0.0) & x_in).astype(jnp.float32)
-        cnt = jnp.maximum(jnp.sum(act, 0, keepdims=True), 1.0)
-        w_c = act / cnt
+            f_val = []
+            d_val = []
+            for fi in range(2):
+                c0_, c1, c2, c3 = _segment_coefs(coef_ref, fi, seg)
+                val = ((c3 * t_loc + c2) * t_loc + c1) * t_loc + c0_
+                der = (3.0 * c3 * t_loc + 2.0 * c2) * t_loc + c1
+                f_val.append(val)
+                d_val.append(der)
 
-        rxn = rx * ny - ry * nx
-        tx_, ty_ = -ny, nx
-        rxt = rx * ty_ - ry * tx_
-        inv_fm_pt = jnp.where(is_l, inv_fml, inv_fmr)
-        me_n = 1.0 / (inv_m + rxn * rxn * inv_i + ny * ny * inv_fm_pt)
-        me_t = 1.0 / (inv_m + rxt * rxt * inv_i + ty_ * ty_ * inv_fm_pt)
+            surf_l = (-g.jaw_offset + g.width) + ql + f_val[0]
+            surf_r = g.jaw_offset + qr + f_val[1]
+            inv_l = jax.lax.rsqrt(1.0 + d_val[0] * d_val[0])
+            inv_r = jax.lax.rsqrt(1.0 + d_val[1] * d_val[1])
+            depth_l = (surf_l - py) * inv_l
+            depth_r = (py - surf_r) * inv_r
+            # a point can never contact BOTH fingers (the closed jaws stay
+            # >1 cm apart), so the two finger contact sets merge into one:
+            # pick the deeper candidate per point — halves the solver work
+            is_l = depth_l > depth_r
+            depth = jnp.where(is_l, depth_l, depth_r)
+            nx = jnp.where(is_l, -d_val[0] * inv_l, d_val[1] * inv_r)
+            ny = jnp.where(is_l, inv_l, -inv_r)
+            act = ((depth > 0.0) & x_in).astype(jnp.float32)
+
+            rxn = rx * ny - ry * nx
+            tx_, ty_ = -ny, nx
+            rxt = rx * ty_ - ry * tx_
+            inv_fm_pt = jnp.where(is_l, inv_fml, inv_fmr)
+            me_n = 1.0 / (inv_m + rxn * rxn * inv_i + ny * ny * inv_fm_pt)
+            me_t = 1.0 / (inv_m + rxt * rxt * inv_i + ty_ * ty_ * inv_fm_pt)
+
+            # soft-constraint normal velocity from pre-update velocities
+            qd_c0 = jnp.where(is_l, qdl, qdr)      # coupled finger velocity
+            vn0 = (vx - om * ry) * nx + (vy + om * rx - qd_c0) * ny
+            return (rx, ry, is_l, depth, nx, ny, act, rxn, tx_, ty_, rxt,
+                    me_n, me_t, vn0)
 
         # plane normal (z penalty)
         depth_z = SIM.plane_z - zb
@@ -200,16 +219,16 @@ def _rollout_kernel(
         rsx = sbx * c - sby * s
         rsy = sbx * s + sby * c
 
-        # soft-constraint velocity targets from pre-update velocities
-        qd_c0 = jnp.where(is_l, qdl, qdr)          # coupled finger velocity
-        vpl_x = vx - om * ry
-        vpl_y = vy + om * rx
-        vn0 = vpl_x * nx + (vpl_y - qd_c0) * ny
-        # implicit stopping target uses the stable base solref gains;
-        # calib gains drive the explicit elastic wedge term (engine2d.step)
-        tgt = (1.0 - d_imp * B_CONTACT * dt) * vn0 + d_imp * dt * K_CONTACT * depth
-
         if solver == "jacobi":
+            (rx, ry, is_l, depth, nx, ny, act, rxn, tx_, ty_, rxt,
+             me_n, me_t, vn0) = contact_geometry()
+            is_lf = is_l.astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(act, 0, keepdims=True), 1.0)
+            w_c = act / cnt
+            # implicit stopping target uses the stable base solref gains;
+            # calib gains drive the explicit elastic wedge term (engine2d.step)
+            tgt = (1.0 - d_imp * B_CONTACT * dt) * vn0 \
+                + d_imp * dt * K_CONTACT * depth
             # explicit elastic wedge impulse, clamped to the pushout velocity
             depth_el = act * jnp.clip(depth, 0.0, DEPTH_EL_CAP)
             v_capn = d_imp * dt * k_con * depth_el
@@ -319,20 +338,9 @@ def _rollout_kernel(
             # soft-constraint energy, unrolled 5x5 Cholesky per lane,
             # 2-point line search with monotone fallback.
             c_r2 = scal_ref[0, 0, 13]
-            tgt_n = (1.0 - d_imp * b_con * dt) * vn0 \
-                + d_imp * dt * k_con * depth
-            w_nn = act * me_n / c_r2
-            w_tt = act * me_t / c_r2
-            depth_el = act * jnp.clip(depth, 0.0, DEPTH_EL_CAP)
-            # depth-proportional crack-capture capacity (engine2d notes)
-            cap_rough = rough * me_t * depth_el
             a_s = inv_m + (rsx * rsx + rsy * rsy) * inv_i * 0.5
             w_s = 1.0 / (c_r2 * a_s)                        # (S, L)
             w_w = inertia / c_r2
-            sl = is_lf
-            sr = 1.0 - is_lf
-            jn = (nx, ny, rxn, -ny * sl, -ny * sr)
-            jt = (tx_, ty_, rxt, -ty_ * sl, -ty_ * sr)
             mg_dt = mass * jnp.float32(SIM.gravity) * dt
             mdiag = (mass, mass, inertia, fmass_l, fmass_r)
 
@@ -341,27 +349,6 @@ def _rollout_kernel(
             vz = vz + dt * (-SIM.gravity + n_total * inv_m)
             u_unc = [vx, vy, om, qdl + dt * f_l * inv_fml,
                      qdr + dt * f_r * inv_fmr]
-            u = list(u_unc)
-
-            def vels_of(u_):
-                qd_cc = u_[3] * sl + u_[4] * sr
-                vpx = u_[0] - u_[2] * ry
-                vpy = u_[1] + u_[2] * rx - qd_cc
-                vn_ = vpx * nx + vpy * ny
-                vt_ = vpx * tx_ + vpy * ty_
-                vsx_ = u_[0] - u_[2] * rsy
-                vsy_ = u_[1] + u_[2] * rsx
-                return vn_, vt_, vsx_, vsy_
-
-            def caps_of(u_):
-                vn_, _, _, _ = vels_of(u_)
-                lam_ = w_nn * jnp.maximum(tgt_n - vn_, 0.0)
-                grip = jnp.sum(lam_, 0, keepdims=True) / mg_dt
-                n_i_ = sw * n_total / (1.0 + unload * grip)
-                cap_t_ = mu_finger * lam_ + cap_rough
-                cap_s_ = mu_plane * n_i_ * dt
-                cap_w_ = mu_torsion * jnp.sum(n_i_, 0, keepdims=True) * dt
-                return lam_, cap_t_, cap_s_, cap_w_
 
             def hub(v_, w_, cap_):
                 q_ = 0.5 * w_ * v_ * v_
@@ -369,26 +356,63 @@ def _rollout_kernel(
                     - 0.5 * cap_ * cap_ / jnp.maximum(w_, 1e-12)
                 return jnp.where(w_ * jnp.abs(v_) <= cap_, q_, lin)
 
-            def energy(u_, cap_t_, cap_s_, cap_w_):
-                vn_, vt_, vsx_, vsy_ = vels_of(u_)
-                res = jnp.maximum(tgt_n - vn_, 0.0)
-                e_n = jnp.sum(0.5 * w_nn * res * res + hub(vt_, w_tt, cap_t_),
-                              0, keepdims=True)
-                vs_ = jnp.sqrt(vsx_ * vsx_ + vsy_ * vsy_ + 1e-16)
-                e_s = jnp.sum(hub(vs_, w_s, cap_s_), 0, keepdims=True)
-                e_w = hub(u_[2], w_w, cap_w_)
-                e_u = 0.5 * (
-                    mass * ((u_[0] - u_unc[0]) ** 2 + (u_[1] - u_unc[1]) ** 2)
-                    + inertia * (u_[2] - u_unc[2]) ** 2
-                    + fmass_l * (u_[3] - u_unc[3]) ** 2
-                    + fmass_r * (u_[4] - u_unc[4]) ** 2
-                )
-                return e_u + e_n + e_s + e_w
-
             def _full_solve(u0_t):
+                # narrow-phase geometry computed HERE so the cheap branch
+                # never pays for it (broad-phase gated lax.cond below)
+                (rx, ry, is_l, depth, nx, ny, act, rxn, tx_, ty_, rxt,
+                 me_n, me_t, vn0) = contact_geometry()
+                sl = is_l.astype(jnp.float32)
+                sr = 1.0 - sl
+                tgt_n = (1.0 - d_imp * b_con * dt) * vn0 \
+                    + d_imp * dt * k_con * depth
+                w_nn = act * me_n / c_r2
+                w_tt = act * me_t / c_r2
+                depth_el = act * jnp.clip(depth, 0.0, DEPTH_EL_CAP)
+                # depth-proportional crack-capture capacity (engine2d notes)
+                cap_rough = rough * me_t * depth_el
+                jn = (nx, ny, rxn, -ny * sl, -ny * sr)
+                jt = (tx_, ty_, rxt, -ty_ * sl, -ty_ * sr)
+
+                def vels_of(u_):
+                    qd_cc = u_[3] * sl + u_[4] * sr
+                    vpx = u_[0] - u_[2] * ry
+                    vpy = u_[1] + u_[2] * rx - qd_cc
+                    vn_ = vpx * nx + vpy * ny
+                    vt_ = vpx * tx_ + vpy * ty_
+                    vsx_ = u_[0] - u_[2] * rsy
+                    vsy_ = u_[1] + u_[2] * rsx
+                    return vn_, vt_, vsx_, vsy_
+
+                def caps_of(u_):
+                    vn_, _, _, _ = vels_of(u_)
+                    lam_ = w_nn * jnp.maximum(tgt_n - vn_, 0.0)
+                    grip = jnp.sum(lam_, 0, keepdims=True) / mg_dt
+                    n_i_ = sw * n_total / (1.0 + unload * grip)
+                    cap_t_ = mu_finger * lam_ + cap_rough
+                    cap_s_ = mu_plane * n_i_ * dt
+                    cap_w_ = mu_torsion * jnp.sum(n_i_, 0, keepdims=True) * dt
+                    return lam_, cap_t_, cap_s_, cap_w_
+
+                def energy(u_, cap_t_, cap_s_, cap_w_):
+                    vn_, vt_, vsx_, vsy_ = vels_of(u_)
+                    res = jnp.maximum(tgt_n - vn_, 0.0)
+                    e_n = jnp.sum(
+                        0.5 * w_nn * res * res + hub(vt_, w_tt, cap_t_),
+                        0, keepdims=True)
+                    vs_ = jnp.sqrt(vsx_ * vsx_ + vsy_ * vsy_ + 1e-16)
+                    e_s = jnp.sum(hub(vs_, w_s, cap_s_), 0, keepdims=True)
+                    e_w = hub(u_[2], w_w, cap_w_)
+                    e_u = 0.5 * (
+                        mass * ((u_[0] - u_unc[0]) ** 2
+                                + (u_[1] - u_unc[1]) ** 2)
+                        + inertia * (u_[2] - u_unc[2]) ** 2
+                        + fmass_l * (u_[3] - u_unc[3]) ** 2
+                        + fmass_r * (u_[4] - u_unc[4]) ** 2
+                    )
+                    return e_u + e_n + e_s + e_w
+
                 u = list(u0_t)
-                NIT2 = 5
-                for _it in range(NIT2):
+                for _it in range(newton_iters):
                     lam_nn, cap_t, cap_s, cap_w = caps_of(u)
                     vn_, vt_, vsx_, vsy_ = vels_of(u)
                     res = jnp.maximum(tgt_n - vn_, 0.0)
@@ -473,10 +497,12 @@ def _rollout_kernel(
 
                 return tuple(u)
 
+            def _cheap_solve(u0_t):                return tuple(u)
+
             def _cheap_solve(u0_t):
                 # no finger contact anywhere in the block: plane friction +
                 # torsion only — 2 Newton iterations on the 3-DOF subproblem
-                # (the drop/settle phase; ~70% of datagen steps)
+                # (the drop/settle phase; ~70% of datagen steps).
                 u = list(u0_t)
                 n_i_ = sw * n_total
                 cap_s_ = mu_plane * n_i_ * dt
@@ -547,7 +573,14 @@ def _rollout_kernel(
                          for a in range(5)]
                 return tuple(u)
 
-            u = list(jax.lax.cond(jnp.sum(act) > 0.0,
+            # broad phase: finger contact impossible unless the object's
+            # bounding circle can reach a finger surface (A/B precomputed in
+            # scene_arrays; conservative). Gated per 128-lane block.
+            broad_a = scal_ref[0, 0, 14]
+            broad_b = scal_ref[0, 0, 15]
+            maybe = ((cy <= broad_a + ql) | (cy >= broad_b + qr)) \
+                .astype(jnp.float32)
+            u = list(jax.lax.cond(jnp.sum(maybe) > 0.0,
                                   _full_solve, _cheap_solve, tuple(u_unc)))
             vx, vy, om = u[0], u[1], u[2]
             qdl, qdr = u[3], u[4]
@@ -605,7 +638,7 @@ def profile_batch_pallas(*args, solver=None, **kwargs):
     jax.jit,
     static_argnames=(
         "steps", "dt", "regrasp_every", "solver_iters", "ctrl_mag",
-        "snapshot_step", "solver",
+        "snapshot_step", "solver", "newton_iters",
     ),
 )
 def _profile_batch_pallas(
@@ -621,6 +654,7 @@ def _profile_batch_pallas(
     ctrl_mag: float = SIM.ctrl_2d,
     snapshot_step: int = 0,
     solver: str = "jacobi",
+    newton_iters: int = NEWTON_KERNEL_ITERS,
 ) -> Tuple[jnp.ndarray, ...]:
     """Fused rollouts: (B pairs) x (N poses) -> (dtheta (B, N),
     dpos (B, N, 2), final_theta (B, N), final_pos (B, N, 2)).
@@ -643,6 +677,7 @@ def _profile_batch_pallas(
         ctrl_mag=ctrl_mag,
         snapshot_step=snapshot_step,
         solver=solver,
+        newton_iters=newton_iters,
     )
     grid = (b, n // LANE)
     out_shape = [
@@ -723,6 +758,28 @@ def scene_arrays(scenes, calib=None) -> Tuple[jnp.ndarray, ...]:
     scal[:, 0, 11] = float(calib.unload)
     scal[:, 0, 12] = float(calib.rough)
     scal[:, 0, 13] = float(getattr(calib, "c_r", 0.0526))
+    # broad-phase bounds for the kernel's no-contact fast path: finger
+    # contact is impossible unless cy <= A + ql (left) or cy >= B + qr
+    # (right), where A/B fold the finger-curve extremum and the object's
+    # max COM radius (conservative: ignores the x-window, dense-grid spline
+    # extremum padded by 1e-3)
+    from dgdm_tpu.core.config import GRIPPER_2D as _g
+
+    h = (_g.ctrl_x_max - _g.ctrl_x_min) / (_g.num_ctrl - 1)
+    t = np.linspace(0.0, h, 64, dtype=np.float64)  # (T,)
+    # (B, 2, 6, T) per-segment cubic values
+    vals = (
+        coefs[..., 0:1]
+        + coefs[..., 1:2] * t
+        + coefs[..., 2:3] * t**2
+        + coefs[..., 3:4] * t**3
+    )
+    fmax_l = vals[:, 0].max(axis=(1, 2)) + 1e-3
+    fmin_r = vals[:, 1].min(axis=(1, 2)) - 1e-3
+    rel = np.asarray(scenes.contour) - np.asarray(scenes.com)[:, None, :]
+    r_max = np.sqrt((rel**2).sum(-1)).max(axis=1)
+    scal[:, 0, 14] = (-_g.jaw_offset + _g.width) + fmax_l + r_max   # A
+    scal[:, 0, 15] = _g.jaw_offset + fmin_r - r_max                 # B
     return (
         jnp.asarray(coefs),
         scenes.contour,

@@ -208,37 +208,6 @@ def _rollout3d_kernel(
         wy = py + ry
         wz = pz + rz
 
-        in_dom = (wx >= x0f) & (wx <= x1f) & (wz >= z0f) & (wz <= z1f)
-        xc = jnp.clip(wx, x0f, x1f)
-        zc = jnp.clip(wz, z0f, z1f)
-        seg = jnp.clip(((xc - x0f) * (1.0 / hseg)).astype(jnp.int32), 0, N_SEG - 1)
-        t_loc = xc - (x0f + seg.astype(jnp.float32) * hseg)
-        s_loc = zc - z0f
-
-        fl, slx, slz = _surface_eval(coef_ref, 0, seg, t_loc, s_loc)
-        fr, srx, srz = _surface_eval(coef_ref, 1, seg, t_loc, s_loc)
-
-        surf_l = (-g.jaw_offset + g.width) + ql + fl
-        surf_r = g.jaw_offset + qr + fr
-        inv_nl = jax.lax.rsqrt(1.0 + slx * slx + slz * slz)
-        inv_nr = jax.lax.rsqrt(1.0 + srx * srx + srz * srz)
-        depth_l = (surf_l - wy) * inv_nl
-        depth_r = (wy - surf_r) * inv_nr
-        # a point can never touch BOTH jaws (they stay apart): merge the two
-        # finger contact sets into one (plane stays separate — a point CAN
-        # touch plane and finger simultaneously)
-        is_l = depth_l > depth_r
-        is_lf = is_l.astype(jnp.float32)
-        depth_f = jnp.where(is_l, depth_l, depth_r)
-        nfx = jnp.where(is_l, -slx * inv_nl, srx * inv_nr)
-        nfy = jnp.where(is_l, inv_nl, -inv_nr)
-        nfz = jnp.where(is_l, -slz * inv_nl, srz * inv_nr)
-        depth_p = jnp.float32(SIM.plane_z) - wz
-        act_f = ((depth_f > 0) & in_dom).astype(jnp.float32)
-        act_p = (depth_p > 0).astype(jnp.float32)
-        w_f = act_f / jnp.maximum(jnp.sum(act_f, 0, keepdims=True), 1.0)
-        w_p = act_p / jnp.maximum(jnp.sum(act_p, 0, keepdims=True), 1.0)
-
         def contact_frame(nx, ny, nz):
             # r x n
             cx = ry * nz - rz * ny
@@ -248,25 +217,68 @@ def _rollout3d_kernel(
             ang = cx * wx_ + cy * wy_ + cz * wz_
             return cx, cy, cz, ang
 
-        cf = contact_frame(nfx, nfy, nfz)
+        def finger_geometry():
+            """Finger narrow phase: two B-spline surface evaluations plus
+            normals/frames — the dominant (P, L) per-step cost. In the
+            Newton path this runs only inside the full-solve branch of the
+            lax.cond (broad-phase gated); the drop/travel phase skips it."""
+            in_dom = (wx >= x0f) & (wx <= x1f) & (wz >= z0f) & (wz <= z1f)
+            xc = jnp.clip(wx, x0f, x1f)
+            zc = jnp.clip(wz, z0f, z1f)
+            seg = jnp.clip(
+                ((xc - x0f) * (1.0 / hseg)).astype(jnp.int32), 0, N_SEG - 1)
+            t_loc = xc - (x0f + seg.astype(jnp.float32) * hseg)
+            s_loc = zc - z0f
+
+            fl, slx, slz = _surface_eval(coef_ref, 0, seg, t_loc, s_loc)
+            fr, srx, srz = _surface_eval(coef_ref, 1, seg, t_loc, s_loc)
+
+            surf_l = (-g.jaw_offset + g.width) + ql + fl
+            surf_r = g.jaw_offset + qr + fr
+            inv_nl = jax.lax.rsqrt(1.0 + slx * slx + slz * slz)
+            inv_nr = jax.lax.rsqrt(1.0 + srx * srx + srz * srz)
+            depth_l = (surf_l - wy) * inv_nl
+            depth_r = (wy - surf_r) * inv_nr
+            # a point can never touch BOTH jaws (they stay apart): merge the
+            # two finger contact sets into one (plane stays separate — a
+            # point CAN touch plane and finger simultaneously)
+            is_l = depth_l > depth_r
+            depth_f = jnp.where(is_l, depth_l, depth_r)
+            nfx = jnp.where(is_l, -slx * inv_nl, srx * inv_nr)
+            nfy = jnp.where(is_l, inv_nl, -inv_nr)
+            nfz = jnp.where(is_l, -slz * inv_nl, srz * inv_nr)
+            act_f = ((depth_f > 0) & in_dom).astype(jnp.float32)
+
+            cf = contact_frame(nfx, nfy, nfz)
+            inv_fm_pt = jnp.where(is_l, inv_fml, inv_fmr)
+            me_f = 1.0 / (inv_m + cf[3] + nfy * nfy * inv_fm_pt)
+            qd_c0 = jnp.where(is_l, qdl, qdr)
+            vn_f0 = vpx * nfx + (vpy - qd_c0) * nfy + vpz * nfz
+            return (is_l, depth_f, nfx, nfy, nfz, act_f, cf, inv_fm_pt,
+                    me_f, vn_f0)
+
+        depth_p = jnp.float32(SIM.plane_z) - wz
+        act_p = (depth_p > 0).astype(jnp.float32)
+        w_p = act_p / jnp.maximum(jnp.sum(act_p, 0, keepdims=True), 1.0)
         cp = contact_frame(zero, zero, zero + 1.0)
-        inv_fm_pt = jnp.where(is_l, inv_fml, inv_fmr)
-        me_f = 1.0 / (inv_m + cf[3] + nfy * nfy * inv_fm_pt)
         me_p = 1.0 / (inv_m + cp[3])
 
-        # targets from pre-update velocities
+        # pre-update point velocities (shared by finger and plane rows)
         vpx = vx + oy * rz - oz * ry
         vpy = vy + oz * rx - ox * rz
         vpz = vz + ox * ry - oy * rx
-        qd_c0 = jnp.where(is_l, qdl, qdr)
-        vn_f0 = vpx * nfx + (vpy - qd_c0) * nfy + vpz * nfz
         vn_p0 = vpz
         kc, bc = jnp.float32(K_CONTACT), jnp.float32(B_CONTACT)
         kp_, bp_ = jnp.float32(K_PLANE3), jnp.float32(B_PLANE3)
-        tgt_f = (1.0 - d_imp * bc * dt) * vn_f0 + d_imp * dt * kc * depth_f
         tgt_p = (1.0 - d_imp * bp_ * dt) * vn_p0 + d_imp * dt * kp_ * depth_p
 
         if solver == "jacobi":
+            (is_l, depth_f, nfx, nfy, nfz, act_f, cf, inv_fm_pt,
+             me_f, vn_f0) = finger_geometry()
+            is_lf = is_l.astype(jnp.float32)
+            w_f = act_f / jnp.maximum(jnp.sum(act_f, 0, keepdims=True), 1.0)
+            tgt_f = (1.0 - d_imp * bc * dt) * vn_f0 \
+                + d_imp * dt * kc * depth_f
             # explicit elastic wedge on finger contacts (engine3d.step), with the
             # global energy clamp on the summed wrench
             depth_el = act_f * jnp.clip(depth_f, 0.0, DEPTH_EL_CAP)
@@ -419,24 +431,10 @@ def _rollout3d_kernel(
                     iw02 * tx + iw12 * ty + iw22 * tz,
                 )
 
-            # Newton-specific targets use the CALIBRATED finger gains
-            tgt_fn = (1.0 - d_imp * b_cal * dt) * vn_f0 \
-                + d_imp * dt * k_cal * depth_f
             tgt_pn = tgt_p
-            inv_fm_pt = jnp.where(is_l, inv_fml, inv_fmr)
-            w_nf = act_f * me_f / c_r
             w_np = act_p * me_p / c_r
-            depth_eln = act_f * jnp.clip(depth_f, 0.0, DEPTH_EL_CAP)
-            # depth-proportional crack-capture capacity (engine2d notes)
-            rough_capn = rough * me_f * depth_eln
             mg_dt = mass * jnp.float32(SIM.gravity) * dt
-
-            # finger lever cross r x n; plane lever cross r x ez = (ry,-rx,0)
-            cfx, cfy, cfz = cf[0], cf[1], cf[2]
-            sl = is_lf
-            sr = 1.0 - is_lf
-            # finger normal-row Jacobian (8-vec per point)
-            jf = (nfx, nfy, nfz, cfx, cfy, cfz, -nfy * sl, -nfy * sr)
+            # plane lever cross r x ez = (ry, -rx, 0)
             jp = (zero + 0.0, zero + 0.0, zero + 1.0, ry, -rx, zero + 0.0,
                   zero + 0.0, zero + 0.0)
 
@@ -444,14 +442,6 @@ def _rollout3d_kernel(
             f_r = g.kp * (-ctrl_l - qr) - g.joint_damping * qdr
             u_unc = [vx, vy, vz - dt * jnp.float32(SIM.gravity), ox, oy, oz,
                      qdl + dt * f_l * inv_fml, qdr + dt * f_r * inv_fmr]
-            u = list(u_unc)
-
-            def vrel_of(u_):
-                vpx = u_[0] + u_[4] * rz - u_[5] * ry
-                vpy = u_[1] + u_[5] * rx - u_[3] * rz
-                vpz = u_[2] + u_[3] * ry - u_[4] * rx
-                qd_pt = u_[6] * sl + u_[7] * sr
-                return vpx, vpy - qd_pt, vpz, vpy
 
             def e_quad(u_):
                 dvx_, dvy_, dvz_ = (u_[0] - u_unc[0], u_[1] - u_unc[1],
@@ -475,18 +465,45 @@ def _rollout3d_kernel(
                 e_t = jnp.where(w_ * vt_ <= cap_, q_br, lin)
                 return jnp.sum(e_n + e_t, 0, keepdims=True)
 
-            def energy(u_, capf_, capp_):
-                fx_, fy_, fz_, pvy_ = vrel_of(u_)
-                vnf_ = fx_ * nfx + fy_ * nfy + fz_ * nfz
-                vtf2 = ((fx_ - vnf_ * nfx) ** 2 + (fy_ - vnf_ * nfy) ** 2
-                        + (fz_ - vnf_ * nfz) ** 2)
-                vnp_ = fz_
-                vtp2 = fx_ * fx_ + pvy_ * pvy_
-                return (e_quad(u_)
-                        + hub_sum(vnf_, vtf2, w_nf, capf_, tgt_fn)
-                        + hub_sum(vnp_, vtp2, w_np, capp_, tgt_pn))
-
             def _full_solve(u0_t):
+                # finger narrow phase computed HERE so the cheap branch never
+                # pays for the two surface evaluations (broad-phase gated
+                # lax.cond below)
+                (is_l, depth_f, nfx, nfy, nfz, act_f, cf, inv_fm_pt,
+                 me_f, vn_f0) = finger_geometry()
+                is_lf = is_l.astype(jnp.float32)
+                # Newton-specific targets use the CALIBRATED finger gains
+                tgt_fn = (1.0 - d_imp * b_cal * dt) * vn_f0 \
+                    + d_imp * dt * k_cal * depth_f
+                w_nf = act_f * me_f / c_r
+                depth_eln = act_f * jnp.clip(depth_f, 0.0, DEPTH_EL_CAP)
+                # depth-proportional crack-capture capacity (engine2d notes)
+                rough_capn = rough * me_f * depth_eln
+                # finger lever cross r x n
+                cfx, cfy, cfz = cf[0], cf[1], cf[2]
+                sl = is_lf
+                sr = 1.0 - is_lf
+                # finger normal-row Jacobian (8-vec per point)
+                jf = (nfx, nfy, nfz, cfx, cfy, cfz, -nfy * sl, -nfy * sr)
+
+                def vrel_of(u_):
+                    vpx = u_[0] + u_[4] * rz - u_[5] * ry
+                    vpy = u_[1] + u_[5] * rx - u_[3] * rz
+                    vpz = u_[2] + u_[3] * ry - u_[4] * rx
+                    qd_pt = u_[6] * sl + u_[7] * sr
+                    return vpx, vpy - qd_pt, vpz, vpy
+
+                def energy(u_, capf_, capp_):
+                    fx_, fy_, fz_, pvy_ = vrel_of(u_)
+                    vnf_ = fx_ * nfx + fy_ * nfy + fz_ * nfz
+                    vtf2 = ((fx_ - vnf_ * nfx) ** 2 + (fy_ - vnf_ * nfy) ** 2
+                            + (fz_ - vnf_ * nfz) ** 2)
+                    vnp_ = fz_
+                    vtp2 = fx_ * fx_ + pvy_ * pvy_
+                    return (e_quad(u_)
+                            + hub_sum(vnf_, vtf2, w_nf, capf_, tgt_fn)
+                            + hub_sum(vnp_, vtp2, w_np, capp_, tgt_pn))
+
                 u = list(u0_t)
                 NIT = 6
                 for _it in range(NIT):
@@ -750,7 +767,19 @@ def _rollout3d_kernel(
                          for a in range(8)]
                 return tuple(u)
 
-            u = list(jax.lax.cond(jnp.sum(act_f) > 0.0,
+            # broad phase: finger contact impossible unless the object's
+            # wy span can reach a finger surface (surface extrema precomputed
+            # in scene_arrays_3d, scal slots 25/26; conservative — ignores
+            # the x/z window). Gated per 128-lane block.
+            wy_min = jnp.min(wy, 0, keepdims=True)
+            wy_max = jnp.max(wy, 0, keepdims=True)
+            br_fmax_l = scal_ref[0, 0, 25]
+            br_fmin_r = scal_ref[0, 0, 26]
+            maybe = (
+                (wy_min <= (-g.jaw_offset + g.width) + ql + br_fmax_l)
+                | (wy_max >= g.jaw_offset + qr + br_fmin_r)
+            ).astype(jnp.float32)
+            u = list(jax.lax.cond(jnp.sum(maybe) > 0.0,
                                   _full_solve, _cheap_solve, tuple(u_unc)))
             vx, vy, vz = u[0], u[1], u[2]
             ox, oy, oz = u[3], u[4], u[5]
@@ -941,4 +970,20 @@ def scene_arrays_3d(scenes, calib=None) -> Tuple[jnp.ndarray, ...]:
     scal[:, 0, 22] = ib[:, 0, 2]
     scal[:, 0, 23] = ib[:, 1, 2]
     scal[:, 0, 24] = float(calib.c_r)
+    # broad-phase surface extrema for the kernel's no-contact fast path
+    # (dense-grid evaluation of the fitted per-segment bivariate polys,
+    # padded by 1e-3 to stay conservative)
+    from dgdm_tpu.core.config import GRIPPER_3D as _g3
+
+    h3 = (_g3.ctrl_x_max - _g3.ctrl_x_min) / N_SEG
+    t3 = np.linspace(0.0, h3, 24)
+    s3 = np.linspace(0.0, _g3.ctrl_z_max - _g3.ctrl_z_min, 16)
+    basis = np.stack(
+        [t3[:, None] ** a * s3[None, :] ** b_
+         for a in range(DEG_X + 1) for b_ in range(DEG_Z + 1)], -1
+    )  # (T, S, C)
+    cflat = coefs.reshape(b, 2, N_SEG, -1)          # (B, 2, N_SEG, C)
+    vals3 = np.einsum("bfnc,tsc->bfnts", cflat, basis)
+    scal[:, 0, 25] = vals3[:, 0].max(axis=(1, 2, 3)) + 1e-3   # left max
+    scal[:, 0, 26] = vals3[:, 1].min(axis=(1, 2, 3)) - 1e-3   # right min
     return jnp.asarray(coefs), jnp.asarray(points), jnp.asarray(scal)
