@@ -87,23 +87,27 @@ FITTED_2D = {
     "c_r": 0.0526 / 8.0,   # (1-d)/d over an ~8x patch multiplicity prior
 }
 
-# Fitted for the coupled Newton solver by full-suite random search + local
-# refinement (scripts/search_calib_2d.py; runs/calib/calib2d_newton_final.json)
-# at the shipped configuration (Newton iters per NEWTON_ITERS, 2 step
-# candidates + monotone current-u fallback): pooled suite corr 0.336 /
-# median ratio 0.998 / class agreement 0.631. Versus the Jacobi fit
-# (corr 0.403 / ratio 0.617 / agree 0.616): correlation comparable,
-# MAGNITUDE now at parity — the 0.62x under-rotation biased every
-# downstream class label. See docs/PARITY.md.
+# Fitted for the coupled Newton solver at the shipped 4-iteration
+# configuration by random search + refinement with a HELD-OUT split
+# (scripts/search_calib_2d.py --budget 60 --refine 30;
+# runs/calib/calib2d_newton_r3.json): fit on 40 suite cases, validated on
+# the other 20. Full suite: corr 0.419 / median ratio 0.906 / class
+# agreement 0.644; train 0.436/0.961/0.660, val 0.383/0.835/0.610 — val
+# within ~0.05 corr of train, so the 8 scalars are not overfit. The
+# round-2 fit (calib2d_newton_final.json, in-sample at 5 iters) measured
+# corr 0.336 / ratio 1.007 / agree 0.640 — the refit reaches the
+# decomposition-noise ceiling (MuJoCo's own cross-decomposition
+# self-agreement is 0.218-0.445, docs/PARITY.md) at a ~10% magnitude
+# cost. See docs/PARITY.md.
 FITTED_2D_NEWTON = {
-    "mu_plane": 0.351220,
-    "mu_finger": 1.351532,
-    "mu_torsion": 0.00290488,
-    "k_contact": 6674.37,
-    "b_contact": 158.477,
-    "unload": 0.111898,
-    "rough": 276.471,
-    "c_r": 0.00231742,
+    "mu_plane": 0.537831,
+    "mu_finger": 0.994053,
+    "mu_torsion": 0.00372800,
+    "k_contact": 12064.3,
+    "b_contact": 113.745,
+    "unload": 0.866354,
+    "rough": 212.657,
+    "c_r": 0.0215693,
 }
 
 # contact solver: "jacobi" (mass-split projected impulses + explicit elastic

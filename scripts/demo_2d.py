@@ -32,11 +32,11 @@ from dgdm_tpu.train.dynamics import DynamicsTrainer
 from dgdm_tpu.train.generator import GeneratorTrainer
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "runs", "demo2d")
-N_OBJECTS = 3
-N_GRIPPERS = 24
-# the Newton engine's labels carry ~1.6x more rotation signal (magnitude at
-# parity with MuJoCo); the demo-scale classifier needs the extra steps
-DYN_STEPS = 900
+# round 3: scaled 4x (3x24 -> 8x48 pairs) to push the classifier past
+# val_acc_ori 0.75 and settle the ccw-guidance question (VERDICT r2 item 5)
+N_OBJECTS = 8
+N_GRIPPERS = 48
+DYN_STEPS = 3000
 DIFF_STEPS = 1500
 OBJECTIVES = ("rotate_clockwise", "rotate_counterclockwise", "shift_left")
 
