@@ -160,9 +160,12 @@ def test_statistical_fidelity_vs_mujoco_suite():
             ratios.append(e.std() / m.std())
         agrees.append((cls(e) == cls(m)).mean())
     corr, ratio, agree = np.mean(corrs), np.median(ratios), np.mean(agrees)
-    assert corr > 0.27, f"suite corr regressed: {corr:.3f} (was 0.33)"
-    assert 0.7 < ratio < 1.35, f"magnitude regressed: {ratio:.3f} (was 1.00)"
-    assert agree > 0.57, f"class agreement regressed: {agree:.3f} (was 0.63)"
+    # round-3 held-out refit at 4 Newton iters measures 0.534 / 0.862 /
+    # 0.695 on this 20-case subset (runs/calib/calib2d_newton_r3.json);
+    # bounds leave ~20% regression margin
+    assert corr > 0.42, f"suite corr regressed: {corr:.3f} (was 0.53)"
+    assert 0.72 < ratio < 1.15, f"magnitude regressed: {ratio:.3f} (was 0.86)"
+    assert agree > 0.62, f"class agreement regressed: {agree:.3f} (was 0.70)"
     assert np.isfinite(en).all()
 
 
