@@ -27,6 +27,11 @@ from dgdm_tpu.train.logging import MetricSink
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # multi-host: no-op single-host; on a pod/fleet the mesh below spans all
+    # hosts (reference reads NODE_RANK for Lightning DDP, generator/train.py:35)
+    from dgdm_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     train, val = procedural_grippers(args.num_fingers, args.fingers_3d)
     model = ConditionalUnet1D(input_dim=1)
     steps_per_epoch = max(1, len(train) // args.batch_size)

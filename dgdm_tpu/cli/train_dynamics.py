@@ -39,6 +39,11 @@ def _shard(mesh, batch):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # multi-host: no-op single-host; on a pod/fleet the mesh below spans all
+    # hosts (reference reads NODE_RANK for Lightning DDP, generator/train.py:35)
+    from dgdm_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     train_data = DynamicsData(args.data_dir, args.object_max_num_vertices,
                               mirror_augment=args.mirror_augment)
     val_data = DynamicsData(args.test_data_dir, args.object_max_num_vertices)

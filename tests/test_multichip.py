@@ -239,3 +239,38 @@ def test_sim_eval_batch_3d_shards_dp(monkeypatch):
     for s, r in zip(sharded, single):
         for k in s:
             np.testing.assert_allclose(s[k], r[k], atol=1e-4, err_msg=k)
+
+
+def test_distributed_init_noop_single_host(monkeypatch):
+    """maybe_initialize_distributed is a safe no-op without a multi-host
+    environment and parses the reference-style NODE_RANK contract."""
+    from dgdm_tpu.parallel import distributed as dist
+
+    for var in ("DGDM_COORDINATOR", "DGDM_NUM_NODES", "NUM_NODES",
+                "NODE_RANK", "PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert dist.maybe_initialize_distributed() is False
+
+    calls = {}
+
+    class FakeDist:
+        @staticmethod
+        def initialize(**kw):
+            calls.update(kw)
+
+    import jax as _jax
+
+    monkeypatch.setattr(_jax, "distributed", FakeDist)
+    monkeypatch.setattr(_jax, "process_count", lambda: 2, raising=False)
+    monkeypatch.setattr(_jax, "process_index", lambda: 1, raising=False)
+    monkeypatch.setenv("DGDM_COORDINATOR", "10.0.0.1:1234")
+    monkeypatch.setenv("DGDM_NUM_NODES", "2")
+    monkeypatch.setenv("NODE_RANK", "1")
+    monkeypatch.setattr(dist, "_INITIALIZED", False)
+    assert dist.maybe_initialize_distributed(verbose=False) is True
+    assert calls == {"coordinator_address": "10.0.0.1:1234",
+                     "num_processes": 2, "process_id": 1}
+    # block partition of a globally-indexed batch
+    s = dist.process_local_batch_slice(8)
+    assert (s.start, s.stop) == (4, 8)
+    monkeypatch.setattr(dist, "_INITIALIZED", False)
