@@ -40,6 +40,13 @@ UNLOAD3 = 0.0
 ROUGH3 = 0.0
 K_MULT3 = 1.0
 
+# contact surface model for the fingers (host-side bake/fit switch):
+# "envelope" = the decomposition-mean convex-hull envelope
+# (geom/envelope3d.py) — what MuJoCo/V-HACD actually contacts; "smooth" =
+# the bare B-spline sheet (round-2 behavior; misses late-onset contacts by
+# the hull-chord millimeters).
+CONTACT_SURFACE_3D = "envelope"
+
 
 # Fitted for the coupled Newton solver by full-suite random search through
 # the fused Pallas kernel (scripts/search_calib_3d.py, 210 configs at ~1 s
@@ -80,12 +87,16 @@ def default_calib3() -> Calib:
     )
 
 
-def finger_masses_3d(yl: np.ndarray, yr: np.ndarray) -> np.ndarray:
+def finger_masses_3d(yl: np.ndarray, yr: np.ndarray,
+                     decomps=((12, 2), (12, 3))) -> np.ndarray:
     """Exact per-jaw masses of the oracle scene: MuJoCo convex-hulls every
-    vertex-only mesh, so a jaw = hull(visual sheet) + the 12 slab hulls
-    (sim/oracle3d.py). Verified to machine precision against MjModel. The
-    per-finger mass sets the kp=10 servo arrival time — first-order for
-    where in the grip transient the 800-step profile lands."""
+    vertex-only mesh, so a jaw = hull(visual sheet) + the slab hulls
+    (sim/oracle3d.py); the engine uses the MEAN over the two suite
+    decompositions (12x2 / 12x3 patches — the V-HACD-budget-faithful split,
+    geom/envelope3d.py). Per-decomposition the value matches MjModel to
+    machine precision (tests/test_oracle3d.py). The per-finger mass sets
+    the kp=10 servo arrival time — first-order for where in the grip
+    transient the 800-step profile lands."""
     from scipy.spatial import ConvexHull
 
     from dgdm_tpu.sim.oracle3d import _finger_slab_meshes, _surface_grid
@@ -94,12 +105,16 @@ def finger_masses_3d(yl: np.ndarray, yr: np.ndarray) -> np.ndarray:
     out = []
     for y in (yl, yr):
         grid = _surface_grid(np.asarray(y)).reshape(-1, 3)
-        vol = ConvexHull(
+        vis = ConvexHull(
             np.concatenate([grid, grid + [0, g.width, 0]])
         ).volume
-        for slab in _finger_slab_meshes(np.asarray(y)):
-            vol += ConvexHull(slab).volume
-        out.append(SIM.density * vol)
+        per_dec = []
+        for nx_s, nz_s in decomps:
+            vol = vis
+            for slab in _finger_slab_meshes(np.asarray(y), nx_s, num_z=nz_s):
+                vol += ConvexHull(slab).volume
+            per_dec.append(SIM.density * vol)
+        out.append(float(np.mean(per_dec)))
     return np.asarray(out)
 
 
@@ -125,9 +140,18 @@ def bake_height_grids(yl: np.ndarray, yr: np.ndarray) -> np.ndarray:
         sx, sz = _SURF.slopes(yc, flat_x, flat_z)
         return h, sx, sz
 
+    use_env = CONTACT_SURFACE_3D == "envelope"
     for i, y in enumerate((yl, yr)):
-        yc = jnp.asarray(np.asarray(y).reshape(g.nu, g.nv), jnp.float32)
-        h, sx, sz = eval_one(yc)
+        if use_env:
+            from dgdm_tpu.geom.envelope3d import finger_envelope
+
+            h, sx, sz = finger_envelope(
+                np.asarray(y), gx.reshape(-1), gz.reshape(-1),
+                side="upper" if i == 0 else "lower",
+            )
+        else:
+            yc = jnp.asarray(np.asarray(y).reshape(g.nu, g.nv), jnp.float32)
+            h, sx, sz = eval_one(yc)
         out[i, ..., 0] = np.asarray(h).reshape(HGRID_H, HGRID_W)
         out[i, ..., 1] = np.asarray(sx).reshape(HGRID_H, HGRID_W)
         out[i, ..., 2] = np.asarray(sz).reshape(HGRID_H, HGRID_W)

@@ -47,18 +47,27 @@ def _surface_grid(y_ctrl: np.ndarray, sample_size: int = 25) -> np.ndarray:
 
 
 def _finger_slab_meshes(y_ctrl: np.ndarray, num_slabs: int = 12,
-                        sample_size: int = 25) -> list:
-    """Convex slabs: consecutive u-columns of the surface + their +width
-    copies. Each slab's convex hull tracks the extruded sheet closely."""
+                        sample_size: int = 25, num_z: int = 1) -> list:
+    """Convex slabs: surface patches (x-strips, optionally z-split) + their
+    +width copies. MuJoCo convex-hulls each patch, so the effective contact
+    face is the patch's convex envelope.
+
+    num_z matters (measured, round 3): full-z strips (num_z=1) flatten the
+    surface's z-concavity, overfilling by 4-5.5 mm mean — far looser than
+    the reference's V-HACD (-h 32, assets/finger_3d.py decomposition via
+    sim/sim_3d.py:25-70). 12x2 (24 hulls) is ~1.9 mm, 12x3 (36 hulls)
+    ~1.0 mm — bracketing V-HACD's 32-hull budget."""
     g = GRIPPER_3D
     grid = _surface_grid(y_ctrl, sample_size)          # (S, S, 3)
-    bounds = np.linspace(0, sample_size - 1, num_slabs + 1).astype(int)
+    bx = np.linspace(0, sample_size - 1, num_slabs + 1).astype(int)
+    bz = np.linspace(0, sample_size - 1, num_z + 1).astype(int)
     slabs = []
     for i in range(num_slabs):
-        lo, hi = bounds[i], bounds[i + 1] + 1
-        sheet = grid[lo:hi].reshape(-1, 3)
-        verts = np.concatenate([sheet, sheet + [0, g.width, 0]])
-        slabs.append(verts)
+        for j in range(num_z):
+            sheet = grid[bx[i]: bx[i + 1] + 1,
+                         bz[j]: bz[j + 1] + 1].reshape(-1, 3)
+            verts = np.concatenate([sheet, sheet + [0, g.width, 0]])
+            slabs.append(verts)
     return slabs
 
 
@@ -71,13 +80,14 @@ def build_scene_xml_3d(
     yl: np.ndarray, yr: np.ndarray,
     obj_verts: np.ndarray, obj_faces: np.ndarray,
     num_slabs: int = 12, timestep: float = SIM.dt,
+    num_z: int = 1,
 ) -> str:
     g = GRIPPER_3D
     assets, geoms_l, geoms_r = [], [], []
-    for i, v in enumerate(_finger_slab_meshes(yl, num_slabs)):
+    for i, v in enumerate(_finger_slab_meshes(yl, num_slabs, num_z=num_z)):
         assets.append(_mesh_xml(f"fingerl{i:03d}", v))
         geoms_l.append(f'<geom mesh="fingerl{i:03d}" type="mesh" class="collision"/>')
-    for i, v in enumerate(_finger_slab_meshes(yr, num_slabs)):
+    for i, v in enumerate(_finger_slab_meshes(yr, num_slabs, num_z=num_z)):
         assets.append(_mesh_xml(f"fingerr{i:03d}", v))
         geoms_r.append(f'<geom mesh="fingerr{i:03d}" type="mesh" class="collision"/>')
     # visual copies carry the reference's extra mass (visual+collision)
@@ -140,12 +150,13 @@ def build_scene_xml_3d(
 
 class Oracle3D:
     def __init__(self, yl, yr, obj_verts, obj_faces, num_slabs: int = 12,
-                 timestep: float = SIM.dt):
+                 timestep: float = SIM.dt, num_z: int = 1):
         import mujoco
 
         self._mujoco = mujoco
         self.model = mujoco.MjModel.from_xml_string(
-            build_scene_xml_3d(yl, yr, obj_verts, obj_faces, num_slabs, timestep)
+            build_scene_xml_3d(yl, yr, obj_verts, obj_faces, num_slabs,
+                               timestep, num_z=num_z)
         )
         self.data = mujoco.MjData(self.model)
         self._reset_qpos = self.data.qpos.copy()

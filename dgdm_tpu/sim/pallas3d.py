@@ -934,7 +934,9 @@ def scene_arrays_3d(scenes, calib=None) -> Tuple[jnp.ndarray, ...]:
     yrs = np.asarray(scenes.yr)
     b = yls.shape[0]
     both = np.concatenate([yls, yrs], 0)            # (2B, 7, 3)
-    fitted = fit_surface_batch(both)                # (2B, N_SEG, 4, 3)
+    # first half = left jaws (inner face +y), second half = right (-y)
+    sides = ["upper"] * b + ["lower"] * b
+    fitted = fit_surface_batch(both, sides=sides)   # (2B, N_SEG, 4, 3)
     coefs = np.stack([fitted[:b], fitted[b:]], axis=1).astype(np.float32)
     pts = np.asarray(scenes.points)
     points = np.concatenate(

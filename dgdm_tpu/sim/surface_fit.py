@@ -63,9 +63,13 @@ def fit_surface(y_ctrl: np.ndarray, samples_per_seg: int = 12,
 
 
 def fit_surface_batch(y_ctrls: np.ndarray, samples_per_seg: int = 12,
-                      samples_z: int = 9) -> np.ndarray:
+                      samples_z: int = 9, sides=None) -> np.ndarray:
     """(B, 21) or (B, 7, 3) -> (B, N_SEG, DEG_X+1, DEG_Z+1) in ONE jitted
-    vmapped surface evaluation + one einsum (scene-building hot path)."""
+    vmapped surface evaluation + one einsum (scene-building hot path).
+
+    ``sides`` (len B, 'upper'/'lower') switches each row to the hull-
+    envelope contact surface when engine3d.CONTACT_SURFACE_3D='envelope'
+    (the left jaw's inner face points +y -> 'upper'; right -> 'lower')."""
     import jax
     import jax.numpy as jnp
 
@@ -83,11 +87,22 @@ def fit_surface_batch(y_ctrls: np.ndarray, samples_per_seg: int = 12,
         ]
     )
     gx, gz = np.meshgrid(xs_all, zs, indexing="ij")
-    fx = jnp.asarray(gx.reshape(-1), jnp.float32)
-    fz = jnp.asarray(gz.reshape(-1), jnp.float32)
-    vals = np.asarray(
-        jax.jit(jax.vmap(lambda yc: surf.height(yc, fx, fz)))(ycs)
-    ).reshape(len(ycs), N_SEG, samples_per_seg * samples_z)
+    from dgdm_tpu.sim import engine3d as _e3
+
+    if _e3.CONTACT_SURFACE_3D == "envelope" and sides is not None:
+        from dgdm_tpu.geom.envelope3d import finger_envelope
+
+        vals = np.stack([
+            finger_envelope(np.asarray(yc), gx.reshape(-1), gz.reshape(-1),
+                            side=sides[k])[0]
+            for k, yc in enumerate(np.asarray(y_ctrls).reshape(len(ycs), -1))
+        ]).reshape(len(ycs), N_SEG, samples_per_seg * samples_z)
+    else:
+        fx = jnp.asarray(gx.reshape(-1), jnp.float32)
+        fz = jnp.asarray(gz.reshape(-1), jnp.float32)
+        vals = np.asarray(
+            jax.jit(jax.vmap(lambda yc: surf.height(yc, fx, fz)))(ycs)
+        ).reshape(len(ycs), N_SEG, samples_per_seg * samples_z)
     t = np.tile(np.linspace(0, h, samples_per_seg)[:, None],
                 (1, samples_z)).reshape(-1)
     s = np.tile(zs[None, :] - g.ctrl_z_min, (samples_per_seg, 1)).reshape(-1)

@@ -18,6 +18,13 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# host-side MuJoCo + geometry only: pin JAX to CPU so this never claims the
+# TPU (an unpinned import blocks while another client holds the chip)
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from dgdm_tpu.geom.fingers import sample_gripper_3d
@@ -82,8 +89,13 @@ def main():
     for i in range(args.cases):
         verts, faces = suite_object_3d(i)
         yl, yr = sample_gripper_3d(500 + 3 * i)
-        for slabs in (12, 24):
-            o = Oracle3D(yl, yr, verts, faces, num_slabs=slabs)
+        # two V-HACD-budget-faithful finger decompositions (12x2=24 and
+        # 12x3=36 hulls; round 3 — the old full-z 12/24 slabs overfilled
+        # z-concavities by 4-5.5 mm mean and agreed with each other only
+        # because they shared that error; geom/envelope3d.py). npz keys keep
+        # the historical s12/s24 names.
+        for slabs, (nx_s, nz_s) in ((12, (12, 2)), (24, (12, 3))):
+            o = Oracle3D(yl, yr, verts, faces, num_slabs=nx_s, num_z=nz_s)
             rows = [o.rollout(0.0, 0.0, th, steps=args.steps) for th in ths]
             dths[slabs].append([r[0] for r in rows])
             uprights[slabs].append([r[3] for r in rows])

@@ -30,7 +30,11 @@ def main():
     ap.add_argument("--chunk", type=int, default=6)
     ap.add_argument("--trace", type=int, default=-1,
                     help="print theta(t) engine-vs-oracle for this case")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin to host CPU (never touches the TPU tunnel)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.solver:
         engine3d.SOLVER3 = args.solver
 

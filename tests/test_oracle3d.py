@@ -31,15 +31,24 @@ def test_engine3d_mass_parity_vs_mujoco():
 
     verts, faces = box_mesh(0.035, 0.045, 0.04, 0.04)
     yl, yr = sample_gripper_3d(1)
-    oracle = Oracle3D(yl, yr, verts, faces)
     scene = engine3d.make_scene(yl, yr, verts, faces, num_points=256)
     # object: reference double-counts visual+collision copies
+    oracle = Oracle3D(yl, yr, verts, faces, num_slabs=12, num_z=2)
     assert abs(oracle.body_mass("object") - float(scene.mass)) < 0.1
-    # per-jaw masses are EXACT (MuJoCo hull parity, engine3d.finger_masses_3d)
+    # per-jaw masses: engine = MEAN over the two suite decompositions; each
+    # decomposition matches its MjModel to machine precision
+    means = []
+    for nz in (2, 3):
+        o = Oracle3D(yl, yr, verts, faces, num_slabs=12, num_z=nz)
+        per = np.asarray(engine3d.finger_masses_3d(
+            yl, yr, decomps=((12, nz),)))
+        np.testing.assert_allclose(
+            per, [o.body_mass("left_jaw"), o.body_mass("right_jaw")],
+            rtol=1e-4,
+        )
+        means.append(per)
     np.testing.assert_allclose(
-        np.asarray(scene.finger_mass),
-        [oracle.body_mass("left_jaw"), oracle.body_mass("right_jaw")],
-        rtol=1e-4,
+        np.asarray(scene.finger_mass), np.mean(means, 0), rtol=1e-4,
     )
 
 
