@@ -134,7 +134,7 @@ def main():
 
     results.sort(key=lambda x: -x[0])
     print("\ntop-5 after coarse:")
-    for tot, c, r, a, _ in results[:5]:
+    for tot, c, r, a, _, _en in results[:5]:
         print(f"  score {tot:+.3f} corr {c:.3f} ratio {r:.2f} agree {a:.3f}")
 
     # refinement around the top-3

@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--refine", type=int, default=60)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=os.path.join(OUT, "calib3d_search.json"))
+    ap.add_argument("--val_frac", type=float, default=1 / 3,
+                    help="held-out case fraction (fit scores on train only)")
     args = ap.parse_args()
 
     d = np.load(os.path.join(OUT, "oracle3d_suite.npz"))
@@ -74,9 +76,10 @@ def main():
             coefs, points, scal, poses, steps=steps, solver="newton")
         return np.asarray(dth)[:, : len(ths)]
 
-    def score(en):
+    def score(en, case_idx=None):
         corrs, ratios, agrees = [], [], []
-        for i in range(en.shape[0]):
+        cases = range(en.shape[0]) if case_idx is None else case_idx
+        for i in cases:
             v = mask[i]
             e, t = en[i][v], target[i][v]
             if v.sum() < 6:
@@ -89,6 +92,13 @@ def main():
         c, r, a = np.mean(corrs), np.median(ratios), np.mean(agrees)
         return (float(c + a - 0.5 * abs(np.log(max(r, 1e-6)))),
                 float(c), float(r), float(a))
+
+    n_cases = target.shape[0]
+    perm = np.random.RandomState(7).permutation(n_cases)
+    n_val = int(round(args.val_frac * n_cases))
+    val_idx = np.sort(perm[:n_val]).tolist()
+    tr_idx = np.sort(perm[n_val:]).tolist()
+    print(f"split: {len(tr_idx)} train / {len(val_idx)} val cases", flush=True)
 
     rng = np.random.RandomState(args.seed)
 
@@ -108,8 +118,8 @@ def main():
         en = eval_calib(vals)
         if not np.isfinite(en).all():
             continue
-        tot, c, r, a = score(en)
-        results.append((tot, c, r, a, vals))
+        tot, c, r, a = score(en, tr_idx)
+        results.append((tot, c, r, a, vals, en))
         results.sort(key=lambda x: -x[0])
         if trial % 20 == 0 or (tot, c, r, a) == results[0][:4]:
             print(f"[{trial:3d}] {time.time()-t0:5.0f}s best {results[0][0]:+.3f} "
@@ -120,12 +130,19 @@ def main():
         en = eval_calib(vals)
         if not np.isfinite(en).all():
             continue
-        tot, c, r, a = score(en)
-        results.append((tot, c, r, a, vals))
+        tot, c, r, a = score(en, tr_idx)
+        results.append((tot, c, r, a, vals, en))
         results.sort(key=lambda x: -x[0])
     best = results[0]
-    out = {"fitted": best[4], "score": best[0], "corr": best[1],
-           "ratio": best[2], "agree": best[3],
+    vt, vc, vr, va = score(best[5], val_idx)
+    ft, fc, fr, fa = score(best[5])
+    out = {"fitted": best[4],
+           "train": {"cases": len(tr_idx), "score": best[0], "corr": best[1],
+                     "ratio": best[2], "agree": best[3]},
+           "val": {"cases": len(val_idx), "score": vt, "corr": vc,
+                   "ratio": vr, "agree": va},
+           "full": {"score": ft, "corr": fc, "ratio": fr, "agree": fa},
+           "score": ft, "corr": fc, "ratio": fr, "agree": fa,
            "budget": args.budget + args.refine}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
