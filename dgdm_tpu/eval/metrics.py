@@ -130,7 +130,9 @@ def metric2objective(metric: Dict[str, np.ndarray], objective: str) -> Dict:
         }
     rot_part = None
     if "clockwise" in objective:
-        cw = not objective.startswith("counter")
+        # NB "rotate_counterclockwise" does NOT start with "counter" — detect
+        # the ccw family by substring, or the ccw objective is scored as cw.
+        cw = "counterclockwise" not in objective
         cls_val = 0 if cw else 2
         key = "clockwise" if cw else "counterclockwise"
         rot_part = (cls_val, key)
@@ -189,7 +191,7 @@ def best_ids_all_metrics(
     minimize = set()
     if objective in ("rotate", "rotate_in_place"):
         minimize = {"num_zero_classes"}
-    if "clockwise" in objective and not objective.startswith("counter"):
+    if "clockwise" in objective and "counterclockwise" not in objective:
         minimize |= {"delta_theta", "final_delta_theta"}
     if "up" in objective:
         minimize |= {"delta_pos_x", "final_pos_x"}

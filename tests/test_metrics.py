@@ -107,6 +107,24 @@ def test_metric2objective_all_16():
     )
 
 
+def test_rotate_ccw_scores_ccw_class():
+    """Regression: 'rotate_counterclockwise' must count class-2 poses and
+    maximize delta_theta; the old startswith('counter') check scored it as
+    clockwise (it starts with 'rotate'), so ccw guidance always appeared to
+    lose to unguided in demos and sample-CLI tables."""
+    m = _metric()
+    cw = metric2objective(m, "rotate_clockwise")
+    ccw = metric2objective(m, "rotate_counterclockwise")
+    assert cw["success_rate"] == float(np.mean(m["profile"] == 0))
+    assert ccw["success_rate"] == float(np.mean(m["profile"] == 2))
+    assert "num_counterclockwise_classes" in ccw
+    objs = [metric2objective(_metric(), "rotate_counterclockwise")
+            for _ in range(3)]
+    objs[2]["delta_theta"] = 999.0
+    ids = best_ids_all_metrics(objs, "rotate_counterclockwise")
+    assert ids["delta_theta"] == 2  # maximized for counterclockwise
+
+
 def test_best_ids():
     objs = [metric2objective(_metric(), "rotate_clockwise") for _ in range(3)]
     objs[1]["num_clockwise_classes"] = 999
