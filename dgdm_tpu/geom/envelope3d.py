@@ -20,7 +20,14 @@ from typing import Sequence, Tuple
 
 import numpy as np
 
-DEFAULT_DECOMPS: Tuple[Tuple[int, int], ...] = ((12, 2), (12, 3))
+# The decomposition the engine/kernel CONTACT. Round-3 refinement: model ONE
+# decomposition exactly (12x2 = 24 hulls, the V-HACD -h 32 budget) rather
+# than the mean of two — contact onset is a threshold phenomenon, so a
+# mean-of-envelopes surface reproduces NEITHER sim's marginal grips (measured
+# on suite case 27: the mean surface contacts ~20 steps late and rotates
+# 0.007 where both per-decomposition oracles rotate 0.021). The 12x3 build
+# stays in the suite as the cross-decomposition ceiling.
+DEFAULT_DECOMPS: Tuple[Tuple[int, int], ...] = ((12, 2),)
 
 
 def _patch_upper_facets(sheet: np.ndarray):

@@ -32,7 +32,15 @@ _SURF = gripper3d_surface()
 K_PLANE3 = 2.5e4
 B_PLANE3 = 300.0
 SOLVER_ITERS = 8
-HGRID_H, HGRID_W = 64, 32   # height-grid resolution over (x, z)
+# Height-grid resolution over (x, z). The envelope is piecewise planar with
+# its DOMINANT ridges on the 12 x-slab boundaries (every 2 cm over 0.24 m)
+# and the mid-z split; bilinear interpolation CHOPS ridges that fall between
+# nodes by up to (slope jump x cell/2) — at the old 64x32 (3.75 mm cells)
+# that lost 1-2 mm at crests, enough to miss marginal late-onset grips
+# (suite case 27). 193x65 puts nodes EXACTLY on the slab-boundary lines
+# (192 = 12x16 intervals, 64 = 2x32), so the big ridges interpolate
+# exactly; remaining interior facet ridges have near-tangent slope jumps.
+HGRID_H, HGRID_W = 193, 65
 
 # fitted contact parameters (scripts/calibrate_engine3d.py); see engine2d for
 # the physical meaning of each knob
@@ -88,12 +96,12 @@ def default_calib3() -> Calib:
 
 
 def finger_masses_3d(yl: np.ndarray, yr: np.ndarray,
-                     decomps=((12, 2), (12, 3))) -> np.ndarray:
+                     decomps=((12, 2),)) -> np.ndarray:
     """Exact per-jaw masses of the oracle scene: MuJoCo convex-hulls every
     vertex-only mesh, so a jaw = hull(visual sheet) + the slab hulls
-    (sim/oracle3d.py); the engine uses the MEAN over the two suite
-    decompositions (12x2 / 12x3 patches — the V-HACD-budget-faithful split,
-    geom/envelope3d.py). Per-decomposition the value matches MjModel to
+    (sim/oracle3d.py); the engine models the 12x2 decomposition exactly
+    (geom/envelope3d.DEFAULT_DECOMPS — see the note there on why ONE
+    decomposition, not the mean). The value matches the 12x2 MjModel to
     machine precision (tests/test_oracle3d.py). The per-finger mass sets
     the kp=10 servo arrival time — first-order for where in the grip
     transient the 800-step profile lands."""

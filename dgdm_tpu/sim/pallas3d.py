@@ -25,7 +25,9 @@ from dgdm_tpu.core.config import GRIPPER_3D, SIM
 from dgdm_tpu.sim.engine2d import B_CONTACT, IMPEDANCE, K_CONTACT
 from dgdm_tpu.sim.engine3d import B_PLANE3, K_PLANE3, SOLVER_ITERS
 from dgdm_tpu.sim.engine2d import DEPTH_EL_CAP, ROUGH_SAT
-from dgdm_tpu.sim.surface_fit import DEG_X, DEG_Z, N_SEG, fit_surface_batch
+from dgdm_tpu.sim.surface_fit import (
+    DEG_X, DEG_Z, N_SEG, NZ_SEG, TOT_SEG, fit_surface_batch,
+)
 
 LANE = 128
 
@@ -33,14 +35,14 @@ LANE = 128
 def _surface_eval(coef_ref, finger: int, seg, t, s):
     """Piecewise-polynomial surface height + slopes.
 
-    coef_ref block (1, 2, N_SEG, 4, 3); seg/t/s (P, L) ->
-    (y, dy/dx, dy/dz) each (P, L)."""
-    # select the 12 coefficients with a where-chain over segments
+    coef_ref block (1, 2, TOT_SEG, 4, 3); seg (flattened
+    xseg * NZ_SEG + zseg) / t / s (P, L) -> (y, dy/dx, dy/dz) each (P, L)."""
+    # select the 12 coefficients with a where-chain over cells
     c = [[None] * (DEG_Z + 1) for _ in range(DEG_X + 1)]
     for a in range(DEG_X + 1):
         for b in range(DEG_Z + 1):
             acc = jnp.zeros_like(t) + coef_ref[0, finger, 0, a, b]
-            for sg in range(1, N_SEG):
+            for sg in range(1, TOT_SEG):
                 acc = jnp.where(seg >= sg, coef_ref[0, finger, sg, a, b], acc)
             c[a][b] = acc
     # bivariate Horner
@@ -67,7 +69,7 @@ def _surface_eval(coef_ref, finger: int, seg, t, s):
 
 
 def _rollout3d_kernel(
-    coef_ref,        # (1, 2, N_SEG, 4, 3) fitted surface polys (l, r)
+    coef_ref,        # (1, 2, TOT_SEG, 4, 3) fitted surface polys (l, r)
     pts_ref,         # (1, P, 4): body-frame surface points (x, y, z, pad)
     scal_ref,        # (1, 1, 24): mass, fmass_l, com(3), invI upper-tri(6),
                      # fmass_r, mu_plane, mu_finger, k_con, b_con, unload,
@@ -88,6 +90,7 @@ def _rollout3d_kernel(
     x0f, x1f = g.ctrl_x_min, g.ctrl_x_max
     z0f, z1f = g.ctrl_z_min, g.ctrl_z_max
     hseg = (x1f - x0f) / N_SEG
+    hzseg = (z1f - z0f) / NZ_SEG
 
     mass = scal_ref[0, 0, 0]
     fmass_l = scal_ref[0, 0, 1]
@@ -225,10 +228,14 @@ def _rollout3d_kernel(
             in_dom = (wx >= x0f) & (wx <= x1f) & (wz >= z0f) & (wz <= z1f)
             xc = jnp.clip(wx, x0f, x1f)
             zc = jnp.clip(wz, z0f, z1f)
-            seg = jnp.clip(
+            xsg = jnp.clip(
                 ((xc - x0f) * (1.0 / hseg)).astype(jnp.int32), 0, N_SEG - 1)
-            t_loc = xc - (x0f + seg.astype(jnp.float32) * hseg)
-            s_loc = zc - z0f
+            zsg = jnp.clip(
+                ((zc - z0f) * (1.0 / hzseg)).astype(jnp.int32), 0,
+                NZ_SEG - 1)
+            seg = xsg * NZ_SEG + zsg
+            t_loc = xc - (x0f + xsg.astype(jnp.float32) * hseg)
+            s_loc = zc - (z0f + zsg.astype(jnp.float32) * hzseg)
 
             fl, slx, slz = _surface_eval(coef_ref, 0, seg, t_loc, s_loc)
             fr, srx, srz = _surface_eval(coef_ref, 1, seg, t_loc, s_loc)
@@ -863,7 +870,7 @@ def profile_batch_pallas3d(*args, solver=None, **kwargs):
     ),
 )
 def _profile_batch_pallas3d(
-    coefs: jnp.ndarray,    # (B, 2, N_SEG, 4, 3)
+    coefs: jnp.ndarray,    # (B, 2, TOT_SEG, 4, 3)
     points: jnp.ndarray,   # (B, P, 4)
     scalars: jnp.ndarray,  # (B, 1, 16)
     poses: jnp.ndarray,    # (N, 3), N % LANE == 0
@@ -896,7 +903,7 @@ def _profile_batch_pallas3d(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2, N_SEG, 4, 3), lambda i, j: (i, 0, 0, 0, 0),
+            pl.BlockSpec((1, 2, TOT_SEG, 4, 3), lambda i, j: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, 4), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -936,7 +943,7 @@ def scene_arrays_3d(scenes, calib=None) -> Tuple[jnp.ndarray, ...]:
     both = np.concatenate([yls, yrs], 0)            # (2B, 7, 3)
     # first half = left jaws (inner face +y), second half = right (-y)
     sides = ["upper"] * b + ["lower"] * b
-    fitted = fit_surface_batch(both, sides=sides)   # (2B, N_SEG, 4, 3)
+    fitted = fit_surface_batch(both, sides=sides)   # (2B, TOT_SEG, 4, 3)
     coefs = np.stack([fitted[:b], fitted[b:]], axis=1).astype(np.float32)
     pts = np.asarray(scenes.points)
     points = np.concatenate(
@@ -979,12 +986,12 @@ def scene_arrays_3d(scenes, calib=None) -> Tuple[jnp.ndarray, ...]:
 
     h3 = (_g3.ctrl_x_max - _g3.ctrl_x_min) / N_SEG
     t3 = np.linspace(0.0, h3, 24)
-    s3 = np.linspace(0.0, _g3.ctrl_z_max - _g3.ctrl_z_min, 16)
+    s3 = np.linspace(0.0, (_g3.ctrl_z_max - _g3.ctrl_z_min) / NZ_SEG, 16)
     basis = np.stack(
         [t3[:, None] ** a * s3[None, :] ** b_
          for a in range(DEG_X + 1) for b_ in range(DEG_Z + 1)], -1
     )  # (T, S, C)
-    cflat = coefs.reshape(b, 2, N_SEG, -1)          # (B, 2, N_SEG, C)
+    cflat = coefs.reshape(b, 2, TOT_SEG, -1)        # (B, 2, TOT_SEG, C)
     vals3 = np.einsum("bfnc,tsc->bfnts", cflat, basis)
     scal[:, 0, 25] = vals3[:, 0].max(axis=(1, 2, 3)) + 1e-3   # left max
     scal[:, 0, 26] = vals3[:, 1].min(axis=(1, 2, 3)) - 1e-3   # right min
