@@ -35,9 +35,9 @@ def test_engine3d_mass_parity_vs_mujoco():
     # object: reference double-counts visual+collision copies
     oracle = Oracle3D(yl, yr, verts, faces, num_slabs=12, num_z=2)
     assert abs(oracle.body_mass("object") - float(scene.mass)) < 0.1
-    # per-jaw masses: engine = MEAN over the two suite decompositions; each
-    # decomposition matches its MjModel to machine precision
-    means = []
+    # per-jaw masses: engine models the 12x2 decomposition exactly
+    # (envelope3d.DEFAULT_DECOMPS); each decomposition matches its MjModel
+    # to machine precision
     for nz in (2, 3):
         o = Oracle3D(yl, yr, verts, faces, num_slabs=12, num_z=nz)
         per = np.asarray(engine3d.finger_masses_3d(
@@ -46,10 +46,10 @@ def test_engine3d_mass_parity_vs_mujoco():
             per, [o.body_mass("left_jaw"), o.body_mass("right_jaw")],
             rtol=1e-4,
         )
-        means.append(per)
-    np.testing.assert_allclose(
-        np.asarray(scene.finger_mass), np.mean(means, 0), rtol=1e-4,
-    )
+        if nz == 2:
+            np.testing.assert_allclose(
+                np.asarray(scene.finger_mass), per, rtol=1e-4,
+            )
 
 
 @pytest.mark.slow
@@ -57,8 +57,10 @@ def test_engine3d_suite_fidelity():
     """Statistical parity against the committed MuJoCo oracle suite
     (decomposition-mean target, upright orientations only)."""
     d = np.load(SUITE)
-    target = 0.5 * (d["delta_theta_s12"] + d["delta_theta_s24"])
-    mask = d["upright_s12"] & d["upright_s24"]
+    # the engine contacts the 12x2 envelope exactly -> score against the
+    # 12x2 sim (the 12x3 run is the cross-decomposition ceiling reference)
+    target = d["delta_theta_s12"]
+    mask = d["upright_s12"].astype(bool)
     ths = d["thetas"]
     steps = int(d["steps"])
 
