@@ -32,13 +32,14 @@ from dgdm_tpu.train.dynamics import DynamicsTrainer
 from dgdm_tpu.train.generator import GeneratorTrainer
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "runs", "demo2d")
-# round 3: scaled 4x (3x24 -> 8x48 pairs) for classifier accuracy. The
-# historical "ccw guidance loses to unguided" puzzle was an EVAL bug, not a
-# guidance failure: metric2objective scored rotate_counterclockwise as
-# clockwise (see tests/test_metrics.py::test_rotate_ccw_scores_ccw_class).
-N_OBJECTS = 8
-N_GRIPPERS = 48
-DYN_STEPS = 3000
+# round 3: scaled 4x (3x24 -> 8x48 pairs) for classifier accuracy, then 8x
+# again (24x128) once training moved device-side. The historical "ccw
+# guidance loses to unguided" puzzle was an EVAL bug, not a guidance
+# failure: metric2objective scored rotate_counterclockwise as clockwise
+# (see tests/test_metrics.py::test_rotate_ccw_scores_ccw_class).
+N_OBJECTS = 24
+N_GRIPPERS = 128
+DYN_STEPS = 12000
 DIFF_STEPS = 1500
 OBJECTIVES = ("rotate_clockwise", "rotate_counterclockwise", "shift_left")
 
@@ -50,9 +51,26 @@ def main():
     # ---- datagen ----------------------------------------------------------
     t0 = time.time()
     contours = [extract_contours(synthetic_icon(i)) for i in range(N_OBJECTS)]
-    records = []
-    for oi, contour in enumerate(contours):
-        records += generate_2d(oi, contour, list(range(N_GRIPPERS)))
+    cache = os.path.join(OUT, f"datagen_{N_OBJECTS}x{N_GRIPPERS}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        n_rec = int(z["n"])
+        records = [
+            {k: z[f"{k}_{i}"] for k in
+             ("ctrlpts", "obj_theta", "obj_pos", "delta_theta", "delta_pos",
+              "object_vertices")}
+            for i in range(n_rec)
+        ]
+    else:
+        records = []
+        for oi, contour in enumerate(contours):
+            records += generate_2d(oi, contour, list(range(N_GRIPPERS)))
+        np.savez_compressed(
+            cache, n=len(records),
+            **{f"{k}_{i}": r[k] for i, r in enumerate(records)
+               for k in ("ctrlpts", "obj_theta", "obj_pos", "delta_theta",
+                         "delta_pos", "object_vertices")},
+        )
     dg_time = time.time() - t0
     n_roll = len(records) * records[0]["obj_theta"].shape[0]
     summary["datagen"] = {
@@ -67,41 +85,87 @@ def main():
     print("datagen:", summary["datagen"], flush=True)
 
     # ---- dynamics training -------------------------------------------------
+    # Training data stays COMPACT per pair (ctrl/obj are constant across a
+    # pair's 9,000 poses); batches are assembled by on-device gather inside
+    # the jitted step. The earlier host-side row materialization + per-step
+    # numpy gather cost 0.4 s/step at 16k rows — 30x the device step itself.
     from dgdm_tpu.train.data import mirror_rows_2d
 
-    rows = [normalize_record_2d(r) for r in records]
-    val_n = max(1, len(rows) // 10)
-    train_rows, val_rows = rows[val_n:], rows[:val_n]
-    # mirror-symmetry augmentation: enforces cw/ccw balance in the classifier
-    # (the sampled objects are chiral; without it guided counterclockwise
-    # underperforms its clockwise twin at demo data scale)
-    train_rows = train_rows + [mirror_rows_2d(r) for r in train_rows]
+    val_n = max(1, len(records) // 10)
+    val_recs, train_recs = records[:val_n], records[val_n:]
 
-    def stack(rs):
-        return {
-            k: np.concatenate([r[k] for r in rs], 0) for k in rs[0]
-        }
+    def compact(recs, mirror):
+        ctrls, objs, oris, poss, scores = [], [], [], [], []
+        for r in recs:
+            rows = normalize_record_2d(r)
+            variants = [rows]
+            if mirror:
+                # mirror-symmetry augmentation: enforces cw/ccw balance in
+                # the classifier (the sampled objects are chiral; without it
+                # guided ccw underperforms its cw twin at demo data scale)
+                variants.append(mirror_rows_2d(rows))
+            for v in variants:
+                # copy the slices: views would pin each record's full
+                # 9,000-row tiled parents (~8 MB/record, ~40 GB total)
+                ctrls.append(v["ctrl"][0].copy())
+                objs.append(v["obj"][0].copy())
+                oris.append(v["ori"][:, 0].copy())
+                poss.append(v["pos"])
+                scores.append(v["score"])
+        return (jnp.asarray(np.stack(ctrls)), jnp.asarray(np.stack(objs)),
+                jnp.asarray(np.stack(oris)), jnp.asarray(np.stack(poss)),
+                jnp.asarray(np.stack(scores)))
 
-    train_all = stack(train_rows)
-    val_all = {k: jnp.asarray(v) for k, v in stack(val_rows).items()}
-    n_rows = train_all["ctrl"].shape[0]
+    d_ctrl, d_obj, d_ori, d_pos, d_score = compact(train_recs, mirror=True)
+    n_pairs, n_poses = d_ori.shape
     classifier = ProfileForward2D()
     dtr = DynamicsTrainer(classifier, learning_rate=3e-4,
                           total_steps=DYN_STEPS)
-    rng = np.random.RandomState(0)
     bs = 16384
-    first = {k: jnp.asarray(v[:256]) for k, v in train_all.items()}
+    first = {
+        "ctrl": d_ctrl[:256], "obj": d_obj[:256],
+        "ori": d_ori[:256, 0][:, None], "pos": d_pos[:256, 0],
+        "score": d_score[:256, 0],
+    }
     dstate = dtr.init(jax.random.PRNGKey(0), first)
+
+    # data arrays are jit ARGUMENTS, not closure captures: captured device
+    # arrays are inlined into the HLO as constants, and the ~0.6 GB score
+    # table blows the axon remote-compile request limit (HTTP 413)
+    @jax.jit
+    def dyn_step(state, key, d_ctrl, d_obj, d_ori, d_pos, d_score):
+        k1, k2, k3 = jax.random.split(key, 3)
+        pi = jax.random.randint(k1, (bs,), 0, n_pairs)
+        ri = jax.random.randint(k2, (bs,), 0, n_poses)
+        batch = {
+            "ctrl": d_ctrl[pi], "obj": d_obj[pi],
+            "ori": d_ori[pi, ri][:, None], "pos": d_pos[pi, ri],
+            "score": d_score[pi, ri],
+        }
+        return dtr.train_step(state, batch, k3)
+
     key = jax.random.PRNGKey(1)
     t0 = time.time()
     first_loss = None
     for step in range(DYN_STEPS):
-        idx = rng.randint(0, n_rows, bs)
-        batch = {k: jnp.asarray(v[idx]) for k, v in train_all.items()}
         key, k = jax.random.split(key)
-        dstate, m = dtr.train_step(dstate, batch, k)
+        dstate, m = dyn_step(dstate, k, d_ctrl, d_obj, d_ori, d_pos,
+                             d_score)
         if step == 0:
             first_loss = float(m["loss"])
+        elif step % 2000 == 0:
+            print(f"  dyn step {step} loss {float(m['loss']):.4f}",
+                  flush=True)
+    # validation on a fixed row subsample of the held-out pairs
+    v_ctrl, v_obj, v_ori, v_pos, v_score = compact(val_recs, mirror=False)
+    vrng = np.random.RandomState(3)
+    vp = vrng.randint(0, v_ori.shape[0], bs)
+    vr = vrng.randint(0, n_poses, bs)
+    val_all = {
+        "ctrl": v_ctrl[vp], "obj": v_obj[vp],
+        "ori": v_ori[vp, vr][:, None], "pos": v_pos[vp, vr],
+        "score": v_score[vp, vr],
+    }
     vm = dtr.eval_step(dstate, val_all, key)
     from dgdm_tpu.train import checkpoints as _ckpt
 
@@ -121,6 +185,7 @@ def main():
 
     # ---- diffusion training -------------------------------------------------
     train_g, val_g = procedural_grippers(20000)
+    rng = np.random.RandomState(0)
     unet = ConditionalUnet1D()
     gtr = GeneratorTrainer(unet, total_steps=DIFF_STEPS)
     gstate = gtr.init(jax.random.PRNGKey(0), jnp.asarray(train_g[:512]))
@@ -142,7 +207,9 @@ def main():
     print("diffusion:", summary["diffusion"], flush=True)
 
     # unguided samples should look like real grippers (within [-1, 1])
-    noise = jax.random.normal(jax.random.PRNGKey(7), (32, 14, 1))
+    # 64 seeds: success-rate sem ~0.025, so guided-vs-unguided gaps >0.05
+    # are outside seed noise
+    noise = jax.random.normal(jax.random.PRNGKey(7), (64, 14, 1))
     unguided = gtr.sample(gstate, noise)
     summary["unguided_sample_range"] = [
         float(jnp.min(unguided)), float(jnp.max(unguided))
@@ -183,7 +250,7 @@ def main():
         }
         print(objective, guided_summary[objective], flush=True)
     summary["guided"] = guided_summary
-    summary["sim_eval_seconds_16x360x8000steps"] = eval_time
+    summary["sim_eval_seconds_64x360x8000steps"] = eval_time
 
     # ---- chirality check ---------------------------------------------------
     # The demo icons are chiral: if counterclockwise underperforms clockwise,
