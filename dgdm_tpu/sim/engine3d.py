@@ -56,26 +56,27 @@ K_MULT3 = 1.0
 CONTACT_SURFACE_3D = "envelope"
 
 
-# Fitted for the coupled Newton solver by full-suite random search through
-# the fused Pallas kernel (scripts/search_calib_3d.py, 210 configs at ~1 s
-# each; runs/calib/calib3d_search.json) against the 30-case prism-oracle
-# suite: pooled corr 0.637 / median ratio 1.001 / agree 0.760 (MuJoCo's own
-# 12-vs-24-slab decomposition self-agreement ceiling: corr 0.935). The
-# earlier gradient fit (calib3d_newton2.json) had corr 0.62 / ratio 0.69.
+# Fitted for the coupled Newton solver by held-out random search through
+# the fused Pallas kernel (scripts/search_calib_3d.py --budget 150
+# --refine 80; runs/calib/calib3d_search_r3b.json) against the 30-case
+# prism-oracle suite scored vs the 12x2-decomposition sim the engine
+# models exactly (envelope contact, geom/envelope3d.py): full-suite corr
+# 0.705 / ratio 0.963 / agree 0.791 (train 0.726 / held-out val 0.659;
+# round 2, smooth-sheet contact: 0.637 / 1.001 / 0.760).
 FITTED_3D_NEWTON = {
-    "mu_plane": 0.361532,
-    "mu_finger": 0.808524,
+    "mu_plane": 0.699183,
+    "mu_finger": 0.836152,
     # NOTE: mu_torsion is INERT in the 3D Newton path — torsional plane
     # friction (oracle condim=4) is supplied implicitly by the multi-point
     # patch contacts, and neither engine3d nor pallas3d reads calib.mu_torsion
     # in the Newton solve. The value below is a fitted no-op retained for
     # Calib-struct compatibility; it is excluded from the calibration search.
     "mu_torsion": 0.00458153,
-    "k_contact": 16826.7,
-    "b_contact": 87.7423,
-    "unload": 0.210356,
-    "rough": 75.4587,
-    "c_r": 0.111469,
+    "k_contact": 3810.65,
+    "b_contact": 798.455,
+    "unload": 0.214998,
+    "rough": 17.3594,
+    "c_r": 0.137570,
 }
 
 

@@ -34,8 +34,10 @@ def main():
 
     d = np.load(os.path.join(OUT, "oracle3d_suite.npz"))
     t12, t24 = d["delta_theta_s12"], d["delta_theta_s24"]
-    target = 0.5 * (t12 + t24)
-    mask = d["upright_s12"] & d["upright_s24"]
+    # engine models the 12x2 decomposition exactly -> score against s12;
+    # s24 enters only through mj_self_corr (decomposition sensitivity)
+    target = t12
+    mask = d["upright_s12"].astype(bool)
     ths = d["thetas"]
     steps = int(d["steps"])
 

@@ -55,7 +55,7 @@ def test_engine3d_mass_parity_vs_mujoco():
 @pytest.mark.slow
 def test_engine3d_suite_fidelity():
     """Statistical parity against the committed MuJoCo oracle suite
-    (decomposition-mean target, upright orientations only)."""
+    (12x2-decomposition target, upright orientations only)."""
     d = np.load(SUITE)
     # the engine contacts the 12x2 envelope exactly -> score against the
     # 12x2 sim (the 12x3 run is the cross-decomposition ceiling reference)
@@ -88,6 +88,9 @@ def test_engine3d_suite_fidelity():
             ratios.append(e.std() / t.std())
     corr, ratio, agree = np.mean(corrs), np.median(ratios), np.mean(agrees)
     assert np.isfinite(en).all()
-    assert corr > 0.45, f"suite corr regressed: {corr:.3f} (was 0.613)"
-    assert 0.6 < ratio < 1.3, f"magnitude regressed: {ratio:.3f} (was 0.872)"
-    assert agree > 0.68, f"class agreement regressed: {agree:.3f} (was 0.792)"
+    # measured r3b (envelope contact + held-out refit, these 6 cases):
+    # corr 0.745 / ratio 1.179 / agree 0.865 — full-suite kernel numbers
+    # 0.705 / 0.963 / 0.791 (runs/calib/calib3d_search_r3b.json)
+    assert corr > 0.62, f"suite corr regressed: {corr:.3f} (was 0.745)"
+    assert 0.8 < ratio < 1.5, f"magnitude regressed: {ratio:.3f} (was 1.179)"
+    assert agree > 0.75, f"class agreement regressed: {agree:.3f} (was 0.865)"
