@@ -64,10 +64,22 @@ class Calib:
     c_r: jnp.ndarray           # constraint compliance scale (Newton solver):
                                # r_i = c_r * A_ii, MuJoCo's R = (1-d)/d * A_ii
                                # divided by the decomposition multiplicity
+    restitution: jnp.ndarray = 0.0
+                               # finger-row velocity restitution (3D Newton
+                               # only): outgoing-velocity bonus
+                               # e*max(-vn0 - V_REST_THRESH, 0). Tested as a
+                               # model of MuJoCo's ballistic clamp snaps
+                               # (docs/PARITY.md r3) and REJECTED: it
+                               # reproduces single snaps (case 29 exact at
+                               # e=4) but self-excites chatter in sustained
+                               # grips (suite ratio 3-56x at e>=2, pooled
+                               # corr down at any e>0). Kept wired at the
+                               # default 0.0 — an exact no-op — as the
+                               # documented negative result.
 
 
 CALIB_FIELDS = ("mu_plane", "mu_finger", "mu_torsion", "k_contact",
-                "b_contact", "unload", "rough", "c_r")
+                "b_contact", "unload", "rough", "c_r", "restitution")
 
 
 # Fitted against the 60-case x 48-theta MuJoCo oracle suite targeting the

@@ -32,6 +32,10 @@ _SURF = gripper3d_surface()
 K_PLANE3 = 2.5e4
 B_PLANE3 = 300.0
 SOLVER_ITERS = 8
+# Closing-speed threshold (m/s) above which finger-row restitution fires
+# (see step_newton3): above the ~0.032 m/s actuator feed speed so sustained
+# squeeze presses are inert, below the omega x r of alignment-snap impacts.
+V_REST_THRESH = 0.05
 # Height-grid resolution over (x, z). The envelope is piecewise planar with
 # its DOMINANT ridges on the 12 x-slab boundaries (every 2 cm over 0.24 m)
 # and the mid-z split; bilinear interpolation CHOPS ridges that fall between
@@ -623,6 +627,16 @@ def step_newton3(
     vn0 = jnp.einsum("cpk,k->cp", Jn, u0, precision="highest")
     d_imp = IMPEDANCE
     target = (1.0 - d_imp * b_c * dt) * vn0 + d_imp * dt * k_c * depth
+    # finger-row restitution: MuJoCo's final clamp snap is ballistic (pinch
+    # kick -> free spin -> far-corner recruitment, docs/PARITY.md r3); an
+    # outgoing-velocity bonus proportional to the EXCESS closing speed
+    # reproduces the kick. The threshold sits above the actuator feed speed
+    # (~0.032 m/s) so ordinary squeeze presses — which close at feed rate
+    # every step — stay inert; only genuine impacts (corner slams at
+    # omega x r) exceed it.
+    el_row_ = jnp.array([1.0, 1.0, 0.0])[:, None]
+    target = target + calib.restitution * el_row_ * jnp.maximum(
+        -vn0 - V_REST_THRESH, 0.0)
 
     el_row = jnp.array([1.0, 1.0, 0.0])[:, None]
     depth_el = el_row * act * jnp.clip(depth, 0.0, DEPTH_EL_CAP)

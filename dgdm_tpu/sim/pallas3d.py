@@ -23,7 +23,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dgdm_tpu.core.config import GRIPPER_3D, SIM
 from dgdm_tpu.sim.engine2d import B_CONTACT, IMPEDANCE, K_CONTACT
-from dgdm_tpu.sim.engine3d import B_PLANE3, K_PLANE3, SOLVER_ITERS
+from dgdm_tpu.sim.engine3d import (B_PLANE3, K_PLANE3, SOLVER_ITERS,
+                                    V_REST_THRESH)
 from dgdm_tpu.sim.engine2d import DEPTH_EL_CAP, ROUGH_SAT
 from dgdm_tpu.sim.surface_fit import (
     DEG_X, DEG_Z, N_SEG, NZ_SEG, TOT_SEG, fit_surface_batch,
@@ -119,6 +120,7 @@ def _rollout3d_kernel(
     ib02 = scal_ref[0, 0, 22]
     ib12 = scal_ref[0, 0, 23]
     c_r = scal_ref[0, 0, 24]
+    restitution = scal_ref[0, 0, 27]
     inv_m = 1.0 / mass
     inv_fml, inv_fmr = 1.0 / fmass_l, 1.0 / fmass_r
 
@@ -479,9 +481,13 @@ def _rollout3d_kernel(
                 (is_l, depth_f, nfx, nfy, nfz, act_f, cf, inv_fm_pt,
                  me_f, vn_f0) = finger_geometry()
                 is_lf = is_l.astype(jnp.float32)
-                # Newton-specific targets use the CALIBRATED finger gains
+                # Newton-specific targets use the CALIBRATED finger gains;
+                # restitution adds an outgoing-velocity bonus on closing
+                # contacts (ballistic clamp snaps, engine3d.step_newton3)
                 tgt_fn = (1.0 - d_imp * b_cal * dt) * vn_f0 \
-                    + d_imp * dt * k_cal * depth_f
+                    + d_imp * dt * k_cal * depth_f \
+                    + restitution * jnp.maximum(
+                        -vn_f0 - jnp.float32(V_REST_THRESH), 0.0)
                 w_nf = act_f * me_f / c_r
                 depth_eln = act_f * jnp.clip(depth_f, 0.0, DEPTH_EL_CAP)
                 # depth-proportional crack-capture capacity (engine2d notes)
@@ -979,6 +985,7 @@ def scene_arrays_3d(scenes, calib=None) -> Tuple[jnp.ndarray, ...]:
     scal[:, 0, 22] = ib[:, 0, 2]
     scal[:, 0, 23] = ib[:, 1, 2]
     scal[:, 0, 24] = float(calib.c_r)
+    scal[:, 0, 27] = float(calib.restitution)
     # broad-phase surface extrema for the kernel's no-contact fast path
     # (dense-grid evaluation of the fitted per-segment bivariate polys,
     # padded by 1e-3 to stay conservative)
