@@ -27,7 +27,9 @@ RANGES = {
     # r3c: widened DOWN — the r3b fit (0.836) sat against a floor of 0.40,
     # and case-level probes show the final alignment snap is finger-friction
     # bound: mu_finger 0.05 completes case 29's snap to +0.126 (mj saturates
-    # +0.098) where 0.836 stalls it at +0.028 (/tmp lineage: extreme29).
+    # +0.098) where 0.836 stalls it at +0.028. OUTCOME (grid_calib_3d.py):
+    # every snap-completing setting explodes sustained-grip ratios 3-31x —
+    # pooled score peaks back at the r3b fit; kept wide for completeness.
     "mu_finger": (np.log10(0.35), 0.55),
     # mu_torsion intentionally absent: inert in the Newton path (patch
     # contacts supply effective torsion; see engine3d.FITTED_3D_NEWTON note)
