@@ -127,8 +127,14 @@ def _torch_guided_baseline(batch: int = 16, rows: int = 9000) -> float:
     return 1.0 / dt
 
 
-def measure_tpu_2d(num_pairs: int = 64, repeats: int = 2,
+def measure_tpu_2d(num_pairs: int = 256, repeats: int = 3,
                    solver=None) -> float:
+    """2D datagen throughput at the production dispatch shape.
+
+    256 pairs x 9,088 poses = 2.33M simultaneous rollouts per dispatch —
+    the shape real datagen uses (sim/run_sim_2d.sh covers 1,001 x 1,000
+    pairs; bigger dispatches amortize per-dispatch overhead, measured
+    64 -> 256 pairs: 199k -> 217k rollouts/s on the dev chip)."""
     from dgdm_tpu.sim.datagen import throughput_workload
 
     from dgdm_tpu.sim import engine2d

@@ -76,10 +76,34 @@ class Calib:
                                # corr down at any e>0). Kept wired at the
                                # default 0.0 — an exact no-op — as the
                                # documented negative result.
+    # --- 3D clamp-snap probe knobs (engine3d Newton path only; every one
+    # an exact no-op at its default). All five were swept on the oracle
+    # suite with contact-level force dumps (scripts/probe_snap_3d.py,
+    # scripts/diag_snap3d.py) and REJECTED — pooled corr/ratio fall or stay
+    # flat in every tested configuration; the measured snap mechanism needs
+    # MuJoCo's coupled pyramidal-cone force amplification, not a scalar
+    # gate (docs/PARITY.md "round 3b"). Kept wired as documented negative
+    # results so the probes stay runnable.
+    lam_sat: jnp.ndarray = 0.0
+                               # pressure-saturating finger friction cap:
+                               # mu * lam_sat * tanh(lam/lam_sat). 0 = off.
+    om_release: jnp.ndarray = 0.0
+                               # body-spin friction release toward
+                               # mu_ballistic as 1/(1+(|om|*om_release)^2).
+    v_gate: jnp.ndarray = 0.0
+                               # closing-speed friction gate (mu scaled by
+                               # mu_ballistic past v_gate m/s). 0 = off.
+    mu_ballistic: jnp.ndarray = 1.0
+                               # floor scale for om_release / v_gate.
+    ram: jnp.ndarray = 0.0
+                               # ram-contact inelastic absorption: fast-
+                               # closing finger targets blend toward 0
+                               # (never restitutive). 0 = off.
 
 
 CALIB_FIELDS = ("mu_plane", "mu_finger", "mu_torsion", "k_contact",
-                "b_contact", "unload", "rough", "c_r", "restitution")
+                "b_contact", "unload", "rough", "c_r", "restitution",
+                "lam_sat", "om_release", "v_gate", "mu_ballistic", "ram")
 
 
 # Fitted against the 60-case x 48-theta MuJoCo oracle suite targeting the

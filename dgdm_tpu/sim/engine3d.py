@@ -537,6 +537,7 @@ def step_newton3(
     dt: float = SIM.dt,
     regrasp: jnp.ndarray | None = None,
     calib: Calib | None = None,
+    return_diag: bool = False,
 ) -> State3D:
     """Coupled semi-smooth Newton step on the 8-DOF system u = (v, omega, qd).
 
@@ -637,12 +638,34 @@ def step_newton3(
     el_row_ = jnp.array([1.0, 1.0, 0.0])[:, None]
     target = target + calib.restitution * el_row_ * jnp.maximum(
         -vn0 - V_REST_THRESH, 0.0)
+    # ram-contact inelastic absorption — probed and REJECTED (suite flat,
+    # scripts/probe_snap_3d.py --gate R; docs/PARITY.md round 3b): finger
+    # contacts closing faster than V_REST_THRESH blend their velocity
+    # target toward 0 (rigid inelastic limit, never restitutive). The
+    # momentum transfer stays m_eff-limited, which is exactly what the
+    # measurement shows the engine lacks vs MuJoCo's coupled-cone solve.
+    # ram = 0 is an exact no-op.
+    exc = jnp.maximum(-vn0 - V_REST_THRESH, 0.0)
+    w_ram = calib.ram * el_row_ * exc / (V_REST_THRESH + exc)
+    target = (1.0 - w_ram) * target
 
     el_row = jnp.array([1.0, 1.0, 0.0])[:, None]
     depth_el = el_row * act * jnp.clip(depth, 0.0, DEPTH_EL_CAP)
     m_eff = 1.0 / a_nn
     # depth-proportional crack-capture capacity (see engine2d.step_newton)
     cap_rough = calib.rough * m_eff * depth_el
+
+    # ballistic-snap friction gates — probed and REJECTED (suite sweeps in
+    # scripts/probe_snap_3d.py; docs/PARITY.md round 3b). All are exact
+    # no-ops at their Calib defaults: om_release (body-spin mu release),
+    # v_gate (closing-speed mu gate), lam_sat (pressure-saturating cap,
+    # applied in forces()).
+    om_sp = jnp.sqrt(jnp.sum(state.om * state.om) + 1e-12)
+    rel_b = calib.mu_ballistic + (1.0 - calib.mu_ballistic) / (
+        1.0 + (om_sp * calib.om_release) ** 2)
+    gate_c = (calib.v_gate > 0.0) & ((-vn0 - calib.v_gate) > 0.0)
+    rel_c = jnp.where(gate_c, calib.mu_ballistic, 1.0)
+    fric_scale = el_row * (rel_b * rel_c) + (1.0 - el_row)       # (3, P)
 
     ctrl_c = jnp.clip(
         ctrl, jnp.array([0.0, -g.ctrl_clamped]), jnp.array([g.ctrl_clamped, 0.0])
@@ -668,7 +691,12 @@ def step_newton3(
         scale_p = 1.0 / (1.0 + calib.unload * grip)
         mu_row = jnp.stack([calib.mu_finger, calib.mu_finger,
                             calib.mu_plane * scale_p])[:, None]
-        cap_t = mu_row * lam_n + cap_rough
+        lam_c = jnp.where(
+            calib.lam_sat > 0.0,
+            calib.lam_sat * jnp.tanh(lam_n / jnp.maximum(calib.lam_sat, 1e-9)),
+            lam_n)
+        lam_fric = el_row * lam_c + (1.0 - el_row) * lam_n
+        cap_t = (mu_row * lam_fric + cap_rough) * fric_scale
         vt_norm = jnp.sqrt(jnp.sum(vt * vt, -1) + 1e-16)
         fac = jnp.minimum(w_t, cap_t / vt_norm)
         return vrel, vn, vt, res, lam_n, cap_t, vt_norm, fac
@@ -721,6 +749,34 @@ def step_newton3(
     u, _ = jax.lax.scan(body, u_unc, jnp.arange(NEWTON_ITERS3))
     vel, om, qd = u[:3], u[3:6], u[6:]
 
+    if return_diag:
+        # reconstruct converged contact impulses for offline diagnostics
+        # (scripts/diag_snap3d.py): per-row normal/friction torque about z
+        vrel, vn, vt, res, lam_n, cap_t, vt_norm, fac = forces(u)
+        f_t = fac[..., None] * vt                       # (3, P, 3) impulse
+        tq_n = jnp.einsum("cp,cpi->ci", lam_n, rxn)     # torque-impulse (3,3)
+        rxf = jnp.cross(jnp.broadcast_to(r, f_t.shape), f_t)
+        tq_t = jnp.sum(rxf, axis=1)                     # (3, 3)
+        diag = {
+            "lam_n": jnp.sum(lam_n, axis=1),            # per-row normal imp.
+            "fric": jnp.sum(fac * vt_norm, axis=1),     # per-row |friction|
+            "nact": jnp.sum(act, axis=1),               # active points/row
+            "tqz_n": tq_n[:, 2],                        # z torque: normals
+            "tqz_t": tq_t[:, 2],                        # z torque: friction
+            "depth_max": jnp.max(depth * act, axis=1),
+            # per-point dumps for contact-level comparison vs mj_contactForce
+            "lam_pt": lam_n,                            # (3, P)
+            "n_pt": n,                                  # (3, P, 3)
+            "pw": pw,                                   # (P, 3)
+            # solver internals (row x point): admittance, weight, targets
+            "a_nn": a_nn,
+            "target": target,
+            "vn0": vn0,
+            "vn1": vn,                                  # achieved at u+
+        }
+    else:
+        diag = None
+
     new = State3D(
         pos=state.pos + dt * vel,
         quat=quat_integrate(state.quat, om, dt),
@@ -738,7 +794,7 @@ def step_newton3(
             vel=jnp.where(regrasp, zero3, new.vel),
             om=jnp.where(regrasp, zero3, new.om),
         )
-    return new
+    return (new, diag) if return_diag else new
 
 
 def _z_angle(q: jnp.ndarray) -> jnp.ndarray:

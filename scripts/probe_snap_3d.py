@@ -1,0 +1,209 @@
+"""Probe the three ballistic-snap friction gates on the 3D oracle suite.
+
+MuJoCo's final clamp snap is a discrete impulse exchange (pinch kick ->
+free spin -> far-corner slam; docs/PARITY.md r3) that the engine's
+sustained Coulomb caps brake — measured: the stall is friction-bound, but
+no GLOBAL mu serves both the snap and sustained-grip regimes (focused
+(mu_finger, b_contact) grid, r3). This probe sweeps three STATE-GATED
+friction reductions, each an exact no-op at its Calib default:
+
+  A. lam_sat       — per-point friction capacity saturates past a normal
+                     impulse lam_sat (the snap drives 4.6-6.6 N through ONE
+                     contact; sustained grips spread force over the patch)
+  B. om_release    — finger mu decays toward mu_ballistic with body spin
+                     (the snap spins to ~1 rad/s; sustained creep ~1e-2)
+  C. v_gate        — per-contact closing-speed gate (corner slams close at
+                     omega x r >> the actuator feed speed)
+
+Runs the pure-JAX engine over the full 30-case suite per config and prints
+pooled corr/ratio/agree plus the snap-family cases (4, 7, 17, 25, 27, 29
+— every ratio < 0.7 in runs/calib/diag3d_cases_r3b.json).
+
+    python scripts/probe_snap_3d.py [--gate A|B|C|all]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgdm_tpu.sim import engine3d
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "runs", "calib")
+FAMILY = (4, 7, 17, 25, 27, 29)
+
+
+def cls(x, th=0.02):
+    return np.where(x > th, 2, np.where(x < -th, 0, 1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gate", default="all")
+    ap.add_argument("--chunk", type=int, default=6)
+    ap.add_argument("--out", default=os.path.join(OUT, "probe_snap_3d.json"))
+    args = ap.parse_args()
+
+    d = np.load(os.path.join(OUT, "oracle3d_suite.npz"))
+    target = d["delta_theta_s12"]
+    mask = d["upright_s12"].astype(bool)
+    ths = d["thetas"]
+    steps = int(d["steps"])
+    scenes = []
+    for i in range(len(d["yl"])):
+        verts = d["verts"][i][: d["nv"][i]].astype(np.float64)
+        faces = d["faces"][i][: d["nf"][i]]
+        scenes.append(engine3d.make_scene(d["yl"][i], d["yr"][i], verts,
+                                          faces, num_points=256))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+    poses = jnp.asarray(np.stack([0 * ths, 0 * ths, ths], -1), jnp.float32)
+
+    def run(calib):
+        en = []
+        for s in range(0, len(scenes), args.chunk):
+            sub = jax.tree.map(lambda x: x[s:s + args.chunk], stacked)
+            dth = engine3d.profile_batch(sub, poses, steps=steps, calib=calib)[0]
+            en.append(np.asarray(dth))
+        return np.concatenate(en)
+
+    def score(en):
+        corrs, ratios, agrees, fam = [], [], [], {}
+        for i in range(en.shape[0]):
+            v = mask[i]
+            e, t = en[i][v], target[i][v]
+            if v.sum() < 6:
+                continue
+            a = float((cls(e) == cls(t)).mean())
+            agrees.append(a)
+            if t.std() > 0.005:
+                c = np.corrcoef(e, t)[0, 1]
+                c = 0.0 if not np.isfinite(c) else float(c)
+                r = float(e.std() / t.std())
+                corrs.append(c)
+                ratios.append(r)
+                if i in FAMILY:
+                    fam[i] = (c, r)
+        return (float(np.mean(corrs)), float(np.median(ratios)),
+                float(np.mean(agrees)), fam)
+
+    base = engine3d.default_calib3()
+    configs = [("baseline", {})]
+    if args.gate in ("A", "all"):
+        for ls in (0.003, 0.01, 0.03, 0.1):
+            configs.append((f"A lam_sat={ls}", {"lam_sat": ls}))
+    if args.gate in ("B", "all"):
+        for om0, mb in ((5.0, 0.3), (10.0, 0.3), (20.0, 0.3),
+                        (10.0, 0.1), (20.0, 0.1)):
+            configs.append((f"B om_release={om0} mu_b={mb}",
+                            {"om_release": om0, "mu_ballistic": mb}))
+    if args.gate in ("C", "all"):
+        for vg, mb in ((0.05, 0.3), (0.1, 0.3), (0.2, 0.3),
+                       (0.1, 0.1)):
+            configs.append((f"C v_gate={vg} mu_b={mb}",
+                            {"v_gate": vg, "mu_ballistic": mb}))
+    if args.gate == "D":
+        # sustained-press hypothesis (diag_snap3d.py case 29): the fitted
+        # b_contact=798 gives d*b*dt = 1.44 > 1 — finger contacts REVERSE
+        # closing velocity in one step (restitutive spike), slamming the
+        # object into the plane (friction brake) and recoiling the jaw.
+        # MuJoCo's solref (0.02, 1) is critically damped: b_eff ~ 100,
+        # absorbing the press over ~10 steps at sustained ~8 N. The search
+        # never explored b < 225 (RANGES halfwidth).
+        for b in (100.0, 200.0, 350.0, 500.0):
+            configs.append((f"D b_contact={b}", {"b_contact": b}))
+        for b, k in ((100.0, 2500.0), (150.0, 2500.0)):
+            configs.append((f"D b={b} k={k}",
+                            {"b_contact": b, "k_contact": k}))
+    if args.gate == "P":
+        # plane-friction binding hypothesis: MuJoCo's snap is semi-airborne
+        # (pinch kick pops the object off the plane -> near-zero plane force
+        # mid-snap), while the engine's overdamped plane patch stays planted
+        # and brakes the spin through distributed plane friction.
+        for mp in (0.45, 0.3, 0.15):
+            configs.append((f"P mu_plane={mp}", {"mu_plane": mp}))
+        for un in (0.6, 1.5, 4.0):
+            configs.append((f"P unload={un}", {"unload": un}))
+
+    if args.gate == "E":
+        # pyramid-edge multiplicity: a MuJoCo condim-4 pyramidal contact is
+        # 4 edge rows all containing the normal direction — parallel
+        # compliances, so the effective per-contact stiffness is 2-4x the
+        # single-row R = (1-d)/d * A_ii. Engine equivalent: divide c_r.
+        for cr in (0.069, 0.034, 0.017):
+            configs.append((f"E c_r={cr}", {"c_r": cr}))
+        configs.append(("E c_r=0.034 b=350",
+                        {"c_r": 0.034, "b_contact": 350.0}))
+        configs.append(("E c_r=0.034 b=100 k=2500",
+                        {"c_r": 0.034, "b_contact": 100.0,
+                         "k_contact": 2500.0}))
+    if args.gate == "R":
+        # ram-contact inelastic absorption: blend fast-closing finger-row
+        # velocity targets toward 0 (rigid inelastic momentum exchange).
+        for ram in (0.3, 0.6, 0.85, 1.0):
+            configs.append((f"R ram={ram}", {"ram": ram}))
+        configs.append(("R ram=1.0 b=350",
+                        {"ram": 1.0, "b_contact": 350.0}))
+    if args.gate == "U":
+        # bracing hypothesis (diag_snap3d.py solver internals): MuJoCo
+        # needs 2.6x more force for the same closing-velocity decay — its
+        # object is braced by plane friction (XML mu=1.0 vs fitted 0.699),
+        # so the ram push converts to rotation about the braced pivot
+        # instead of y-translation escape. Sweep plane/finger mu UP.
+        for mp in (1.0, 1.4):
+            configs.append((f"U mu_plane={mp}", {"mu_plane": mp}))
+        configs.append(("U mu_p=1.0 mu_f=1.0",
+                        {"mu_plane": 1.0, "mu_finger": 1.0}))
+        configs.append(("U mu_p=1.0 b=100",
+                        {"mu_plane": 1.0, "b_contact": 100.0}))
+        configs.append(("U mu_p=1.0 mu_f=1.0 b=100",
+                        {"mu_plane": 1.0, "mu_finger": 1.0,
+                         "b_contact": 100.0}))
+    if args.gate == "H":
+        # hop hypothesis (diag_snap3d.py case 29): MuJoCo's snap coasts
+        # because the kicked object HOPS off its 3-4 hull-corner plane
+        # contacts (ncon -> 0 mid-snap), killing plane friction; the
+        # engine's overdamped 51-point plane patch never lets go (measured
+        # brake ~0.33 N.m vs MuJoCo's ~0.03). Sweep the plane damping down
+        # (module constant -> clear jit caches per config).
+        for bp in (50.0, 100.0, 200.0):
+            configs.append((f"H B_PLANE3={bp}", {"_B_PLANE3": bp}))
+        for bp, kp in ((100.0, 1.0e4), (100.0, 5.0e4)):
+            configs.append((f"H B_PLANE3={bp} K_PLANE3={kp}",
+                            {"_B_PLANE3": bp, "_K_PLANE3": kp}))
+
+    rows = []
+    t0 = time.time()
+    bp0, kp0 = engine3d.B_PLANE3, engine3d.K_PLANE3
+    prev = (bp0, kp0)
+    for name, vals in configs:
+        vals = dict(vals)
+        cur = (vals.pop("_B_PLANE3", bp0), vals.pop("_K_PLANE3", kp0))
+        engine3d.B_PLANE3, engine3d.K_PLANE3 = cur
+        if cur != prev:
+            jax.clear_caches()   # constants are baked at trace time
+        prev = cur
+        calib = base.replace(**{k: jnp.float32(v) for k, v in vals.items()})
+        en = run(calib)
+        if not np.isfinite(en).all():
+            print(f"{name}: NON-FINITE", flush=True)
+            continue
+        c, r, a, fam = score(en)
+        famstr = " ".join(f"{i}:{fc:+.2f}/{fr:.2f}" for i, (fc, fr)
+                          in sorted(fam.items()))
+        print(f"{name:28s} corr {c:.3f} ratio {r:.3f} agree {a:.3f} | "
+              f"{famstr}  [{time.time()-t0:.0f}s]", flush=True)
+        rows.append({"name": name, **vals, "corr": c, "ratio": r, "agree": a,
+                     "family": {str(k): v for k, v in fam.items()}})
+    with open(args.out, "w") as f:
+        json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
