@@ -203,6 +203,68 @@ def ear_clip(verts: np.ndarray) -> np.ndarray:
     return np.asarray(tris, dtype=np.int64)
 
 
+def earclip_anchor_weights(poly: np.ndarray,
+                           variant: str = "default",
+                           mode: str = "perp") -> np.ndarray:
+    """Per-vertex crack-fan anchor weights of the oracle's ear-clip object
+    decomposition (sim/oracle.py:_object_prisms).
+
+    MuJoCo never collides the smooth object contour: it collides the
+    ear-clip triangle PRISMS, and a finger face that penetrates the hull
+    near a vertex contacts the crack walls of every incident triangle —
+    measured ~40 contacts with normals spanning 120 deg at a single rim
+    vertex (docs/PARITY.md), an omni-directional anchor whose strength
+    follows the local fan DEGREE of the triangulation. The weight is the
+    incident-triangle count per vertex, normalized to mean 1 so the fitted
+    ``rough`` gain keeps its calibrated scale; ``variant="rolled"``
+    matches the oracle's rolled-start triangulation (the decisive
+    decomposition-sensitivity experiment).
+
+    Returns (P,) float64 weights aligned with ``poly``'s vertices; falls
+    back to uniform 1.0 if ear-clipping drops vertices (degenerate input).
+    """
+    from dgdm_tpu.geom.contour import ensure_ccw
+
+    p = ensure_ccw(np.asarray(poly, dtype=np.float64))
+    n = len(p)
+    if variant == "rolled":
+        r = n // 3
+        tris = [tuple((i + r) % n for i in t)
+                for t in ear_clip(np.roll(p, -r, axis=0))]
+    else:
+        tris = ear_clip(p)
+    tris = np.asarray(tris, dtype=np.int64)
+    if mode == "degree":
+        deg = np.zeros(n, dtype=np.float64)
+        for t in tris.reshape(-1):
+            if 0 <= t < n:
+                deg[t] += 1.0
+        if deg.sum() <= 0:
+            return np.ones(n)
+        return deg / deg.mean()
+    # mode == "perp": crack walls only block tangential sliding to the
+    # extent they stand perpendicular to the local surface — weight each
+    # INTERIOR edge at the vertex by |sin(angle to the contour tangent)|.
+    boundary = {(i, (i + 1) % n) for i in range(n)}
+    boundary |= {(b, a) for a, b in boundary}
+    tang = p[(np.arange(n) + 1) % n] - p[np.arange(n) - 1]
+    tang /= np.maximum(np.linalg.norm(tang, axis=1, keepdims=True), 1e-12)
+    w = np.zeros(n, dtype=np.float64)
+    seen = set()
+    for t in tris:
+        for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            if (a, b) in boundary or (a, b) in seen or (b, a) in seen:
+                continue
+            seen.add((a, b))
+            e = p[b] - p[a]
+            e /= max(np.linalg.norm(e), 1e-12)
+            w[a] += abs(e[0] * tang[a][1] - e[1] * tang[a][0])
+            w[b] += abs(e[0] * tang[b][1] - e[1] * tang[b][0])
+    if w.sum() <= 0:
+        return np.ones(n)
+    return w / w.mean()
+
+
 def dedupe_polygon(verts: np.ndarray, tol: float = 1e-12) -> np.ndarray:
     """Drop consecutive duplicate vertices (int-quantized contours have them)."""
     keep = np.ones(len(verts), dtype=bool)

@@ -222,6 +222,7 @@ def make_scene(
     contour: np.ndarray,
     support_grid: int = 8,
     contour_upsample: int = 1,
+    triangulation: str = "uniform",
 ) -> Scene2D:
     """Host-side scene construction from raw control points + object contour.
 
@@ -256,6 +257,25 @@ def make_scene(
             for y in (yl, yr)
         ]
     )
+    # crack-fan anchors of the oracle's ear-clip decomposition. Probed and
+    # REJECTED as a default (scripts/probe_anchor_2d.py, round 3): neither
+    # fan-degree nor perpendicular-edge weights raise corr against the
+    # MATCHING triangulation's oracle (0.506 uniform vs 0.44-0.49 anchored
+    # on s50) — the decomposition-specific snap directions are not
+    # expressible as a static per-vertex stiction weight, consistent with
+    # the measured 2D chaos sensitivity (MuJoCo self-corr 0.856 at 0.2 mm;
+    # docs/PARITY.md). Default "uniform" keeps anchor = 1 exactly.
+    if triangulation == "uniform":
+        anchor = np.ones(1, np.float64)
+    else:
+        anchor = polygon_lib.earclip_anchor_weights(
+            poly, variant=triangulation)
+        if contour_upsample > 1:
+            k = contour_upsample
+            fr = np.arange(k, dtype=np.float64)[None, :] / k
+            nxt = np.roll(anchor, -1)
+            anchor = (anchor[:, None] * (1.0 - fr)
+                      + nxt[:, None] * fr).reshape(-1)[: len(poly_c)]
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
     return Scene2D(
         coef_l=f32(coef_l),
@@ -267,6 +287,7 @@ def make_scene(
         support_pts=f32(spts),
         support_w=f32(sw),
         finger_mass=f32(fmass),
+        anchor=f32(anchor),
     )
 
 
@@ -489,7 +510,8 @@ def step_jacobi(scene: Scene2D, state: State2D, ctrl: jnp.ndarray,
         # friction: clamp accumulated to the cone (normal load includes the
         # explicit elastic wedge impulse + crack-capture capacity)
         cap = calib.mu_finger * (new_lam_n + dt * f_el) \
-            + calib.rough * m_eff_t * jnp.minimum(depth_el, ROUGH_SAT)
+            + (calib.rough * m_eff_t * jnp.minimum(depth_el, ROUGH_SAT)
+               * jnp.atleast_1d(scene.anchor)[None, :])
         d_lam_t = -w_c * m_eff_t * vt
         new_lam_t = jnp.clip(lam_t + d_lam_t, -cap, cap)
         d_t = new_lam_t - lam_t
@@ -628,8 +650,11 @@ def step_newton(scene: Scene2D, state: State2D, ctrl: jnp.ndarray,
     # scripts/diag_torque_2d.py) — no saturation. The large bilateral
     # tangential capacity entrains the corner with the advancing finger
     # (a pivot), which is what produces MuJoCo's sustained snap torque
-    # rather than a single impulsive kick.
-    cap_rough = calib.rough * m_eff_t * depth_el
+    # rather than a single impulsive kick. scene.anchor carries the
+    # per-vertex fan degree of the oracle's actual ear-clip decomposition
+    # (mean 1; scalar 1.0 = decomposition-agnostic).
+    cap_rough = (calib.rough * m_eff_t * depth_el
+                 * jnp.atleast_1d(scene.anchor)[None, :])
 
     # plane support rows (normal handled by the explicit z penalty)
     depth_z = (SIM.plane_z) - state.zb

@@ -26,6 +26,12 @@ class Scene2D:
     support_w: jnp.ndarray     # (S,) weights, sum to 1 over the interior
     finger_mass: jnp.ndarray   # (2,) per-jaw mass (left, right) — exact
                                # MuJoCo parity (geom/polygon.py)
+    anchor: jnp.ndarray = 1.0  # (P,) per-vertex crack-fan anchor weights of
+                               # the oracle's ear-clip object decomposition
+                               # (geom/polygon.py:earclip_anchor_weights,
+                               # mean 1). Scales the crack-capture stiction
+                               # capacity per contact point; scalar 1.0 =
+                               # uniform (decomposition-agnostic).
 
 
 @flax.struct.dataclass
