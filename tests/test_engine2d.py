@@ -195,3 +195,38 @@ def test_mirror_symmetry_profiles():
         np.asarray(dpos_m)[:, 0], -np.asarray(dpos)[:, 0], atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(dpos_m)[:, 1], np.asarray(dpos)[:, 1], atol=1e-4)
+
+
+def test_earclip_anchor_weights():
+    """Anchor weights: mean-1 normalization, vertex alignment, variants —
+    and make_scene defaults to the uniform (exact no-op) anchor after the
+    round-3 falsification (docs/PARITY.md)."""
+    from dgdm_tpu.geom.polygon import earclip_anchor_weights
+
+    ang = np.linspace(0, 2 * np.pi, 60, endpoint=False)
+    rad = 0.035 * (1 + 0.25 * np.sin(3 * ang) + 0.1 * np.sin(7 * ang))
+    poly = np.stack([rad * np.cos(ang), rad * np.sin(ang)], -1)
+    for mode in ("degree", "perp"):
+        w = earclip_anchor_weights(poly, mode=mode)
+        assert w.shape == (60,)
+        assert np.all(w >= 0)
+        assert abs(w.mean() - 1.0) < 1e-9
+    # the rolled variant is a genuinely different triangulation
+    w0 = earclip_anchor_weights(poly)
+    w1 = earclip_anchor_weights(poly, variant="rolled")
+    assert not np.allclose(w0, w1)
+
+    contour = extract_contours(make_icon(3))
+    yl, yr = sample_gripper_2d(0)
+    sc_u = engine2d.make_scene(yl, yr, contour)
+    assert np.asarray(sc_u.anchor).size == 1          # scalar/broadcast 1.0
+    assert float(np.asarray(sc_u.anchor).reshape(-1)[0]) == 1.0
+    sc_a = engine2d.make_scene(yl, yr, contour, triangulation="default")
+    a = np.asarray(sc_a.anchor)
+    assert a.shape[0] == np.asarray(sc_a.contour).shape[0]
+    # anchored scene changes the profile only through cap_rough (finite)
+    poses = engine2d.pose_grid(grid_size=4, num_pos=1)
+    dth_u = engine2d.profile(sc_u, poses, steps=40)[0]
+    dth_a = engine2d.profile(sc_a, poses, steps=40)[0]
+    assert np.isfinite(np.asarray(dth_u)).all()
+    assert np.isfinite(np.asarray(dth_a)).all()
