@@ -77,7 +77,7 @@ class Calib:
                                # default 0.0 — an exact no-op — as the
                                # documented negative result.
     # --- 3D clamp-snap probe knobs (engine3d Newton path only; every one
-    # an exact no-op at its default). All five were swept on the oracle
+    # an exact no-op at its default). All six were swept on the oracle
     # suite with contact-level force dumps (scripts/probe_snap_3d.py,
     # scripts/diag_snap3d.py) and REJECTED — pooled corr/ratio fall or stay
     # flat in every tested configuration; the measured snap mechanism needs
@@ -99,11 +99,19 @@ class Calib:
                                # ram-contact inelastic absorption: fast-
                                # closing finger targets blend toward 0
                                # (never restitutive). 0 = off.
+    w_fmult: jnp.ndarray = 1.0
+                               # finger-row enforcement multiplicity (3D
+                               # Newton): MuJoCo's condim-4 pyramidal
+                               # contact is 4 edge rows in parallel, ~2-4x
+                               # the single-row weight. Finger rows only —
+                               # the engine's plane patch already carries
+                               # point multiplicity. 1.0 = off.
 
 
 CALIB_FIELDS = ("mu_plane", "mu_finger", "mu_torsion", "k_contact",
                 "b_contact", "unload", "rough", "c_r", "restitution",
-                "lam_sat", "om_release", "v_gate", "mu_ballistic", "ram")
+                "lam_sat", "om_release", "v_gate", "mu_ballistic", "ram",
+                "w_fmult")
 
 
 # Fitted against the 60-case x 48-theta MuJoCo oracle suite targeting the

@@ -618,6 +618,10 @@ def step_newton3(
     )
     a_nn = inv_m + ang + fing_inv
     w_n = act / (calib.c_r * a_nn)
+    # finger-row enforcement multiplicity (probe; 1.0 = exact no-op):
+    # a MuJoCo condim-4 pyramidal contact is 4 edge rows in parallel
+    el_w = jnp.array([1.0, 1.0, 0.0])[:, None]
+    w_n = w_n * (1.0 + (calib.w_fmult - 1.0) * el_w)
     w_t = w_n                                                 # PGS shortcut
 
     k_c = jnp.stack([calib.k_contact, calib.k_contact,

@@ -131,6 +131,16 @@ def main():
         for un in (0.6, 1.5, 4.0):
             configs.append((f"P unload={un}", {"unload": un}))
 
+    if args.gate == "W":
+        # finger-row-only enforcement multiplicity (the E probe divided c_r
+        # GLOBALLY, over-stiffening the already point-multiplied plane
+        # patch; the pyramid-edge multiplicity belongs to finger rows).
+        for wf in (2.0, 3.0, 4.0):
+            configs.append((f"W w_fmult={wf}", {"w_fmult": wf}))
+        configs.append(("W w_fmult=3 b=350",
+                        {"w_fmult": 3.0, "b_contact": 350.0}))
+        configs.append(("W w_fmult=3 b=100",
+                        {"w_fmult": 3.0, "b_contact": 100.0}))
     if args.gate == "E":
         # pyramid-edge multiplicity: a MuJoCo condim-4 pyramidal contact is
         # 4 edge rows all containing the normal direction — parallel
