@@ -84,8 +84,29 @@ FITTED_3D_NEWTON = {
 }
 
 
+# Fitted for the pyramidal-cone solver (step_newton3_pyramid) by held-out
+# engine-side random search (scripts/search_calib_pyramid.py, 60 configs,
+# 20 train / 10 val; runs/calib/calib3d_pyramid.json): full-suite corr
+# 0.701 / ratio 1.08 / agree 0.76 (val corr 0.730) — statistical parity
+# with the Huber-Newton default (0.705/0.96/0.79), so the default stays
+# Newton. Note the fitted per-edge compliance c_r = 0.73 ~= 4x the Newton
+# row's 0.1376: four parallel edge rows share the load, exactly the
+# multiplicity the round-3b measurement predicted.
+FITTED_3D_PYRAMID = {
+    "mu_plane": 0.559093,
+    "mu_finger": 1.117325,
+    "k_contact": 2397.16,
+    "b_contact": 302.934,
+    "unload": 0.751029,
+    "c_r": 0.729647,
+}
+
+
 def default_calib3() -> Calib:
     f32 = lambda v: jnp.asarray(v, jnp.float32)
+    if SOLVER3 == "pyramid":
+        vals = dict(FITTED_3D_NEWTON, rough=0.0, **FITTED_3D_PYRAMID)
+        return Calib(**{k: f32(v) for k, v in vals.items()})
     if SOLVER3 == "newton":
         return Calib(**{k: f32(v) for k, v in FITTED_3D_NEWTON.items()})
     return Calib(
@@ -314,6 +335,9 @@ def step(
     if SOLVER3 == "newton":
         return step_newton3(scene, state, ctrl, dt, regrasp=regrasp,
                             calib=calib)
+    if SOLVER3 == "pyramid":
+        return step_newton3_pyramid(scene, state, ctrl, dt, regrasp=regrasp,
+                                    calib=calib)
     return step_jacobi3(scene, state, ctrl, dt, regrasp=regrasp,
                         solver_iters=solver_iters, calib=calib)
 
@@ -799,6 +823,227 @@ def step_newton3(
             om=jnp.where(regrasp, zero3, new.om),
         )
     return (new, diag) if return_diag else new
+
+
+def step_newton3_pyramid(
+    scene: Scene3D,
+    state: State3D,
+    ctrl: jnp.ndarray,
+    dt: float = SIM.dt,
+    regrasp: jnp.ndarray | None = None,
+    calib: Calib | None = None,
+) -> State3D:
+    """Pyramidal-cone finger contacts — the STRUCTURAL snap candidate.
+
+    The round-3b contact-level measurement (docs/PARITY.md) showed the
+    clamp-snap stall is a force-amplification deficit: MuJoCo's condim-4
+    PYRAMIDAL contact is 4+ one-sided edge rows in parallel, coupling the
+    normal and tangential responses, where ``step_newton3`` has one normal
+    row + a decoupled Huber friction potential. This solver replaces each
+    finger contact with the 4 pyramid edge rows
+
+        e_i = (n + mu s_i) / sqrt(1 + mu^2),  s_i in {+t1, -t1, +t2, -t2}
+
+    each a one-sided quadratic with its OWN edge-projected admittance and
+    the shared penetration target — MuJoCo's actual pyramidal efc layout.
+    Friction emerges from the edge geometry (|f_t| <= mu f_n by
+    construction, sticking contacts are stiff in ALL directions); the
+    ``rough`` crack term is inert here. Plane contact keeps the
+    ``step_newton3`` model (normal one-sided row + Huber tangent + unload).
+    Selected via SOLVER3 = "pyramid" (trace-time). Geometry preamble is
+    deliberately duplicated from step_newton3 (probe isolation).
+    """
+    if calib is None:
+        calib = default_calib3()
+    g = GRIPPER_3D
+    m, fm = scene.mass, scene.finger_mass
+    inv_m, inv_fm = 1.0 / m, 1.0 / fm
+    rot = quat_to_mat(state.quat)
+    inv_i = rot @ scene.inv_inertia @ rot.T
+    i_w = rot @ scene.inertia @ rot.T
+
+    r = (scene.points - scene.com) @ rot.T                   # (P, 3)
+    pw = state.pos + r
+    x, y, z = pw[:, 0], pw[:, 1], pw[:, 2]
+    in_dom = (
+        (x >= g.ctrl_x_min) & (x <= g.ctrl_x_max)
+        & (z >= g.ctrl_z_min) & (z <= g.ctrl_z_max)
+    )
+    xc = jnp.clip(x, g.ctrl_x_min, g.ctrl_x_max)
+    zc = jnp.clip(z, g.ctrl_z_min, g.ctrl_z_max)
+    hl = _bilerp(scene.hgrid[0], xc, zc)
+    hr = _bilerp(scene.hgrid[1], xc, zc)
+    f_l, sx_l, sz_l = hl[:, 0], hl[:, 1], hl[:, 2]
+    f_r, sx_r, sz_r = hr[:, 0], hr[:, 1], hr[:, 2]
+    surf_l = -g.jaw_offset + state.q[0] + f_l + g.width
+    surf_r = g.jaw_offset + state.q[1] + f_r
+    inv_nl = jax.lax.rsqrt(1.0 + sx_l**2 + sz_l**2)
+    inv_nr = jax.lax.rsqrt(1.0 + sx_r**2 + sz_r**2)
+    n_l = jnp.stack([-sx_l, jnp.ones_like(sx_l), -sz_l], -1) * inv_nl[:, None]
+    n_r = jnp.stack([sx_r, -jnp.ones_like(sx_r), sz_r], -1) * inv_nr[:, None]
+    depth_l = (surf_l - y) * inv_nl
+    depth_r = (y - surf_r) * inv_nr
+    act_l = ((depth_l > 0.0) & in_dom).astype(jnp.float32)
+    act_r = ((depth_r > 0.0) & in_dom).astype(jnp.float32)
+    depth_p = SIM.plane_z - z
+    act_p = (depth_p > 0.0).astype(jnp.float32)
+
+    P = r.shape[0]
+    rx, ry, rz = r[:, 0], r[:, 1], r[:, 2]
+    zz = jnp.zeros_like(rx)
+    nskew2 = jnp.stack([
+        jnp.stack([zz, rz, -ry], -1),
+        jnp.stack([-rz, zz, rx], -1),
+        jnp.stack([ry, -rx, zz], -1),
+    ], -2)                                                    # (P, 3, 3)
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (P, 3, 3))
+    e_y = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    # per-jaw G maps u (8,) -> point velocity relative to that jaw (P, 3, 8)
+    fing_l = jnp.broadcast_to(
+        jnp.stack([-e_y, jnp.zeros(3)], -1), (P, 3, 2))
+    fing_r = jnp.broadcast_to(
+        jnp.stack([jnp.zeros(3), -e_y], -1), (P, 3, 2))
+    G_l = jnp.concatenate([eye3, nskew2, fing_l], axis=-1)    # (P, 3, 8)
+    G_r = jnp.concatenate([eye3, nskew2, fing_r], axis=-1)
+    G_p = jnp.concatenate([eye3, nskew2, jnp.zeros((P, 3, 2))], axis=-1)
+    G_f = jnp.stack([G_l, G_r])                               # (2, P, 3, 8)
+
+    # pyramid edge directions per finger contact
+    n_f = jnp.stack([n_l, n_r])                               # (2, P, 3)
+    act_f = jnp.stack([act_l, act_r])
+    depth_f = jnp.stack([depth_l, depth_r])
+    xhat = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+    t1 = jnp.cross(n_f, jnp.broadcast_to(xhat, n_f.shape))
+    t1 = t1 * jax.lax.rsqrt(jnp.sum(t1 * t1, -1, keepdims=True) + 1e-12)
+    t2 = jnp.cross(n_f, t1)
+    mu = calib.mu_finger
+    c_e = jax.lax.rsqrt(1.0 + mu * mu)
+    sdir = jnp.stack([t1, -t1, t2, -t2], axis=2)              # (2, P, 4, 3)
+    e_dir = (n_f[:, :, None, :] + mu * sdir) * c_e            # (2, P, 4, 3)
+    J_e = jnp.einsum("cpei,cpik->cpek", e_dir, G_f,
+                     precision="highest")                     # (2, P, 4, 8)
+    rxe = jnp.cross(jnp.broadcast_to(r[None, :, None, :], e_dir.shape),
+                    e_dir)
+    ang_e = jnp.einsum("cpei,ij,cpej->cpe", rxe, inv_i, rxe,
+                       precision="highest")
+    fing_e = e_dir[..., 1] ** 2 * inv_fm[:, None, None]
+    a_e = inv_m + ang_e + fing_e                              # (2, P, 4)
+    w_e = act_f[:, :, None] / (calib.c_r * a_e)
+
+    u0 = jnp.concatenate([state.vel, state.om, state.qd])
+    d_imp = IMPEDANCE
+    ve0 = jnp.einsum("cpek,k->cpe", J_e, u0, precision="highest")
+    tgt_e = (1.0 - d_imp * calib.b_contact * dt) * ve0 \
+        + d_imp * dt * calib.k_contact * depth_f[:, :, None]
+
+    # plane row: step_newton3's model (one-sided normal + Huber tangent)
+    n_p = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    Jn_p = G_p[:, 2, :]                                       # (P, 8)
+    rxn_p = jnp.cross(r, jnp.broadcast_to(n_p, r.shape))
+    ang_p = jnp.einsum("pi,ij,pj->p", rxn_p, inv_i, rxn_p,
+                       precision="highest")
+    a_p = inv_m + ang_p
+    w_p = act_p / (calib.c_r * a_p)
+    vn0_p = Jn_p @ u0
+    tgt_p = (1.0 - d_imp * B_PLANE3 * dt) * vn0_p \
+        + d_imp * dt * K_PLANE3 * depth_p
+
+    ctrl_c = jnp.clip(
+        ctrl, jnp.array([0.0, -g.ctrl_clamped]), jnp.array([g.ctrl_clamped, 0.0])
+    )
+    f_fing = g.kp * (ctrl_c - state.q) - g.joint_damping * state.qd
+    u_unc = u0 + dt * jnp.concatenate([
+        jnp.array([0.0, 0.0, -SIM.gravity]), jnp.zeros(3), f_fing * inv_fm,
+    ])
+
+    hm = jnp.zeros((8, 8), jnp.float32)
+    hm = hm.at[:3, :3].set(m * jnp.eye(3))
+    hm = hm.at[3:6, 3:6].set(i_w)
+    hm = hm.at[6:, 6:].set(jnp.diag(fm))
+    mg_dt = jnp.maximum(m * SIM.gravity * dt, 1e-9)
+
+    def forces(u):
+        ve = jnp.einsum("cpek,k->cpe", J_e, u, precision="highest")
+        res_e = jnp.maximum(tgt_e - ve, 0.0)
+        lam_e = w_e * res_e
+        vrel_p = jnp.einsum("pik,k->pi", G_p, u, precision="highest")
+        vn_p = vrel_p[:, 2]
+        vt_p = vrel_p.at[:, 2].set(0.0)
+        res_p = jnp.maximum(tgt_p - vn_p, 0.0)
+        lam_p = w_p * res_p
+        grip = jnp.sum(lam_e) * c_e / mg_dt
+        scale_p = 1.0 / (1.0 + calib.unload * grip)
+        cap_p = calib.mu_plane * scale_p * lam_p
+        vt_norm = jnp.sqrt(jnp.sum(vt_p * vt_p, -1) + 1e-16)
+        fac_p = jnp.minimum(w_p, cap_p / vt_norm)
+        return res_e, lam_e, res_p, lam_p, cap_p, vt_p, vt_norm, fac_p
+
+    def energy(u, cap_p):
+        ve = jnp.einsum("cpek,k->cpe", J_e, u, precision="highest")
+        res_e = jnp.maximum(tgt_e - ve, 0.0)
+        vrel_p = jnp.einsum("pik,k->pi", G_p, u, precision="highest")
+        vn_p = vrel_p[:, 2]
+        vt_p = vrel_p.at[:, 2].set(0.0)
+        res_p = jnp.maximum(tgt_p - vn_p, 0.0)
+        vt_norm = jnp.sqrt(jnp.sum(vt_p * vt_p, -1) + 1e-16)
+        q_br = 0.5 * w_p * vt_norm**2
+        lin = cap_p * vt_norm - 0.5 * cap_p**2 / jnp.maximum(w_p, 1e-12)
+        e_t = jnp.where(w_p * vt_norm <= cap_p, q_br, lin)
+        du = u - u_unc
+        return (0.5 * du @ (hm @ du) + 0.5 * jnp.sum(w_e * res_e * res_e)
+                + 0.5 * jnp.sum(w_p * res_p * res_p) + jnp.sum(e_t))
+
+    def newton_iter(u, _):
+        res_e, lam_e, res_p, lam_p, cap_p, vt_p, vt_norm, fac_p = forces(u)
+        grad = hm @ (u - u_unc)
+        grad = grad - jnp.einsum("cpe,cpek->k", lam_e, J_e,
+                                 precision="highest")
+        grad = grad - lam_p @ Jn_p
+        grad = grad + jnp.einsum("pi,pik->k", fac_p[:, None] * vt_p, G_p,
+                                 precision="highest")
+        on_e = w_e * (res_e > 0.0)
+        H = hm + jnp.einsum("cpe,cpek,cpel->kl", on_e, J_e, J_e,
+                            precision="highest")
+        on_p = w_p * (res_p > 0.0)
+        H = H + jnp.einsum("p,pk,pl->kl", on_p, Jn_p, Jn_p,
+                           precision="highest")
+        H = H + jnp.einsum("p,pik,pil->kl", fac_p, G_p, G_p,
+                           precision="highest")
+        H = H - jnp.einsum("p,pk,pl->kl", fac_p, Jn_p, Jn_p,
+                           precision="highest")
+        delta = jnp.linalg.solve(H, -grad)
+        cands = jnp.stack([u + a * delta for a in _LS_ALPHAS3] + [u])
+        evals = jax.vmap(lambda uu: energy(uu, cap_p))(cands)
+        return cands[jnp.argmin(evals)], None
+
+    any_f = jnp.sum(act_f) > 0.0
+    nit = jnp.where(any_f, NEWTON_ITERS3, 3)
+
+    def body(u, i):
+        u2, _ = newton_iter(u, None)
+        return jnp.where(i < nit, u2, u), None
+
+    u, _ = jax.lax.scan(body, u_unc, jnp.arange(NEWTON_ITERS3))
+    vel, om, qd = u[:3], u[3:6], u[6:]
+
+    new = State3D(
+        pos=state.pos + dt * vel,
+        quat=quat_integrate(state.quat, om, dt),
+        vel=vel,
+        om=om,
+        q=state.q + dt * qd,
+        qd=qd,
+    )
+    if regrasp is not None:
+        zero2 = jnp.zeros(2, jnp.float32)
+        zero3 = jnp.zeros(3, jnp.float32)
+        new = new.replace(
+            q=jnp.where(regrasp, zero2, new.q),
+            qd=jnp.where(regrasp, zero2, new.qd),
+            vel=jnp.where(regrasp, zero3, new.vel),
+            om=jnp.where(regrasp, zero3, new.om),
+        )
+    return new
 
 
 def _z_angle(q: jnp.ndarray) -> jnp.ndarray:

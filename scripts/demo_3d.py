@@ -33,11 +33,15 @@ from dgdm_tpu.train.dynamics import DynamicsTrainer
 from dgdm_tpu.train.generator import GeneratorTrainer
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "runs", "demo3d")
-N_GRIPPERS = 24
+N_GRIPPERS = 48
 # Newton-engine labels carry ~2x the motion signal of the round-1 Jacobi
-# labels; the PointNet++ classifier needs more steps at demo scale
-DYN_STEPS = 1800
-DIFF_STEPS = 1200
+# labels; the PointNet++ classifier needs more steps at demo scale. The
+# round-3 envelope-contact physics needed a further 2x (grippers 24 -> 48,
+# steps 1800 -> 4000): at 24x1800 val_acc_ori fell to 0.60 and guided lost
+# both rotation objectives to unguided — the same capacity failure the 2D
+# demo showed before its 4x scaling (docs/PARITY.md).
+DYN_STEPS = 4000
+DIFF_STEPS = 1600
 # shift_left is saturated on these demo objects (unguided success ~0.77 —
 # most random grippers already shift them left); shift_right leaves
 # guidance headroom

@@ -131,6 +131,14 @@ def main():
         for un in (0.6, 1.5, 4.0):
             configs.append((f"P unload={un}", {"unload": un}))
 
+    if args.gate == "Y":
+        # pyramidal-cone finger contacts (step_newton3_pyramid) — the
+        # structural candidate from the round-3b measurement.
+        for vals in ({}, {"b_contact": 100.0}, {"b_contact": 350.0},
+                     {"mu_finger": 0.5}, {"mu_finger": 1.0},
+                     {"c_r": 0.0526}, {"c_r": 0.0526, "b_contact": 100.0},
+                     {"mu_finger": 1.0, "c_r": 0.0526}):
+            configs.append((f"Y pyr {vals}", {"_SOLVER3": "pyramid", **vals}))
     if args.gate == "W":
         # finger-row-only enforcement multiplicity (the E probe divided c_r
         # GLOBALLY, over-stiffening the already point-multiplied plane
@@ -190,12 +198,13 @@ def main():
 
     rows = []
     t0 = time.time()
-    bp0, kp0 = engine3d.B_PLANE3, engine3d.K_PLANE3
-    prev = (bp0, kp0)
+    bp0, kp0, sv0 = engine3d.B_PLANE3, engine3d.K_PLANE3, engine3d.SOLVER3
+    prev = (bp0, kp0, sv0)
     for name, vals in configs:
         vals = dict(vals)
-        cur = (vals.pop("_B_PLANE3", bp0), vals.pop("_K_PLANE3", kp0))
-        engine3d.B_PLANE3, engine3d.K_PLANE3 = cur
+        cur = (vals.pop("_B_PLANE3", bp0), vals.pop("_K_PLANE3", kp0),
+               vals.pop("_SOLVER3", sv0))
+        engine3d.B_PLANE3, engine3d.K_PLANE3, engine3d.SOLVER3 = cur
         if cur != prev:
             jax.clear_caches()   # constants are baked at trace time
         prev = cur

@@ -1,0 +1,157 @@
+"""Held-out random calibration search for the pyramidal-cone 3D solver.
+
+The pyramid prototype (engine3d.step_newton3_pyramid) moves the snap-family
+magnitudes in the predicted direction at the Newton-fitted calibration but
+degrades pooled corr — its effective stiffness scales differ (4 coupled
+edge rows vs 1 normal row + Huber), so it gets its own search before
+judgment. Engine-side (the Pallas kernels have no pyramid path yet);
+20 train / 10 val cases, same scoring as scripts/search_calib_3d.py.
+
+    python scripts/search_calib_pyramid.py [--budget 40] [--refine 20]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgdm_tpu.sim import engine3d
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "runs", "calib")
+
+# log10 center, half-width
+RANGES = {
+    "mu_plane": (np.log10(0.7), 0.3),
+    "mu_finger": (np.log10(0.85), 0.25),
+    "k_contact": (np.log10(4000.0), 0.7),
+    "b_contact": (np.log10(400.0), 0.7),
+    "unload": (np.log10(0.2), 0.7),
+    "c_r": (np.log10(0.09), 0.6),
+}
+
+
+def cls(x, th=0.02):
+    return np.where(x > th, 2, np.where(x < -th, 0, 1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budget", type=int, default=40)
+    ap.add_argument("--refine", type=int, default=20)
+    ap.add_argument("--chunk", type=int, default=6)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out",
+                    default=os.path.join(OUT, "calib3d_pyramid.json"))
+    args = ap.parse_args()
+
+    engine3d.SOLVER3 = "pyramid"
+    jax.clear_caches()
+
+    d = np.load(os.path.join(OUT, "oracle3d_suite.npz"))
+    target = d["delta_theta_s12"]
+    mask = d["upright_s12"].astype(bool)
+    ths = d["thetas"]
+    steps = int(d["steps"])
+    scenes = []
+    for i in range(len(d["yl"])):
+        verts = d["verts"][i][: d["nv"][i]].astype(np.float64)
+        faces = d["faces"][i][: d["nf"][i]]
+        scenes.append(engine3d.make_scene(d["yl"][i], d["yr"][i], verts,
+                                          faces, num_points=256))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+    poses = jnp.asarray(np.stack([0 * ths, 0 * ths, ths], -1), jnp.float32)
+
+    rng = np.random.RandomState(args.seed)
+    n = len(scenes)
+    train_idx = set(rng.choice(n, size=20, replace=False).tolist())
+
+    def run(calib):
+        en = []
+        for s in range(0, n, args.chunk):
+            sub = jax.tree.map(lambda x: x[s:s + args.chunk], stacked)
+            en.append(np.asarray(engine3d.profile_batch(
+                sub, poses, steps=steps, calib=calib)[0]))
+        return np.concatenate(en)
+
+    def score(en, idx=None):
+        corrs, ratios, agrees = [], [], []
+        for i in range(n):
+            if idx is not None and (i in train_idx) != idx:
+                continue
+            v = mask[i]
+            e, t = en[i][v], target[i][v]
+            if v.sum() < 6:
+                continue
+            agrees.append((cls(e) == cls(t)).mean())
+            if t.std() > 0.005:
+                c = np.corrcoef(e, t)[0, 1]
+                corrs.append(0.0 if not np.isfinite(c) else c)
+                ratios.append(e.std() / t.std())
+        c, r, a = np.mean(corrs), np.median(ratios), np.mean(agrees)
+        tot = float(c + a - 0.5 * abs(np.log(max(r, 1e-6))))
+        return tot, float(c), float(r), float(a)
+
+    base = engine3d.default_calib3()
+
+    def sample(center=None, shrink=1.0):
+        vals = {}
+        for k, (c, hw) in RANGES.items():
+            c0 = np.log10(center[k]) if center else c
+            vals[k] = float(10 ** (c0 + rng.uniform(-hw, hw) * shrink))
+        return vals
+
+    best, best_vals, t0 = None, None, time.time()
+    history = []
+    for phase, count, shrink in (("search", args.budget, 1.0),
+                                 ("refine", args.refine, 0.35)):
+        for it in range(count):
+            vals = sample(best_vals if phase == "refine" else None,
+                          shrink if phase == "refine" else 1.0)
+            calib = base.replace(
+                **{k: jnp.float32(v) for k, v in vals.items()})
+            en = run(calib)
+            if not np.isfinite(en).all():
+                continue
+            tot, c, r, a = score(en, idx=True)
+            history.append({**vals, "train_score": tot, "corr": c,
+                            "ratio": r, "agree": a})
+            if best is None or tot > best:
+                vtot, vc, vr, va = score(en, idx=False)
+                ftot, fc, fr, fa = score(en)
+                best, best_vals = tot, vals
+                best_stats = {"train": (tot, c, r, a),
+                              "val": (vtot, vc, vr, va),
+                              "full": (ftot, fc, fr, fa)}
+                print(f"[{phase} {it}] NEW BEST train {tot:+.3f} "
+                      f"(corr {c:.3f} ratio {r:.2f} agree {a:.3f}) "
+                      f"val corr {vc:.3f} full corr {fc:.3f} "
+                      f"[{time.time()-t0:.0f}s]", flush=True)
+            elif it % 5 == 0:
+                print(f"[{phase} {it}] {tot:+.3f} "
+                      f"[{time.time()-t0:.0f}s]", flush=True)
+
+    out = {
+        "fitted": best_vals,
+        "train": dict(zip(("score", "corr", "ratio", "agree"),
+                          best_stats["train"])),
+        "val": dict(zip(("score", "corr", "ratio", "agree"),
+                        best_stats["val"])),
+        "full": dict(zip(("score", "corr", "ratio", "agree"),
+                         best_stats["full"])),
+        "budget": args.budget + args.refine,
+        "solver": "pyramid",
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print("BEST", json.dumps(out["full"]), flush=True)
+
+
+if __name__ == "__main__":
+    main()

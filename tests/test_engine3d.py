@@ -110,3 +110,46 @@ def test_profile_3d_runs(scene):
     assert np.asarray(valid).dtype == bool
     # symmetric box squeezed by symmetric-ish fingers should not move meters
     assert np.abs(np.asarray(dpos)).max() < 0.1
+
+
+def test_pyramid_solver_smoke():
+    """The pyramidal-cone solver (SOLVER3='pyramid') integrates stably and
+    produces finite grips with its fitted calibration — the structural
+    alternative to the Huber-Newton default (statistical parity on the
+    oracle suite, runs/calib/calib3d_pyramid.json; docs/PARITY.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgdm_tpu.geom.fingers import sample_gripper_3d
+    from dgdm_tpu.geom.mesh3d import box_mesh
+
+    verts, faces = box_mesh(0.035, 0.045, 0.04, 0.04)
+    scene = engine3d.make_scene(*sample_gripper_3d(0), verts, faces,
+                                num_points=64)
+    saved = engine3d.SOLVER3
+    try:
+        engine3d.SOLVER3 = "pyramid"
+        calib = engine3d.default_calib3()
+        ctrl = jnp.array([0.5, -0.5], jnp.float32)
+
+        @jax.jit
+        def roll(pose):
+            st = engine3d.init_state(scene, pose)
+
+            def body(s, _):
+                return engine3d.step_newton3_pyramid(
+                    scene, s, ctrl, calib=calib), None
+
+            return jax.lax.scan(body, st, None, length=300)[0]
+
+        st = roll(jnp.asarray([0.0, 0.0, 0.4], jnp.float32))
+        pos = np.asarray(st.pos)
+        assert np.isfinite(pos).all()
+        assert np.isfinite(np.asarray(st.om)).all()
+        # the object stays in the workspace (no explosion)
+        assert np.abs(pos).max() < 0.5
+        # the jaws actually traveled inward
+        q = np.asarray(st.q)
+        assert q[0] > 0.01 and q[1] < -0.01
+    finally:
+        engine3d.SOLVER3 = saved
