@@ -131,6 +131,15 @@ def main():
         for un in (0.6, 1.5, 4.0):
             configs.append((f"P unload={un}", {"unload": un}))
 
+    if args.gate == "Z":
+        # plane-row-only enforcement stiffening (tilt bracing): global c_r
+        # division combined with the inverse finger multiplicity leaves
+        # finger rows unchanged and stiffens ONLY the plane patch — the
+        # hypothesis that MuJoCo's 2.6x contact-force amplification is the
+        # plane rows rigidifying tilt (m_eff 0.14 -> 0.8 at the kick).
+        for k in (2.0, 4.0, 8.0):
+            configs.append((f"Z plane x{k}",
+                            {"c_r": 0.137570 / k, "w_fmult": 1.0 / k}))
     if args.gate == "Y":
         # pyramidal-cone finger contacts (step_newton3_pyramid) — the
         # structural candidate from the round-3b measurement.
