@@ -518,6 +518,9 @@ def _rollout3d_kernel(
                             + hub_sum(vnp_, vtp2, w_np, capp_, tgt_pn))
 
                 u = list(u0_t)
+                # NIT=5 measured (round 3): +11% rollouts/s (9.0k -> 10.0k
+                # on the dev chip) but suite magnitude ratio 0.963 -> 0.843
+                # — a bad trade; 6 stays.
                 NIT = 6
                 for _it in range(NIT):
                     fx_, fy_, fz_, pvy_ = vrel_of(u)
