@@ -59,9 +59,7 @@ def main(argv=None):
     else:
         names = None
 
-    t0 = time.time()
-    done = 0
-    for oi in range(args.object_start, args.object_start + args.num_objects):
+    def load_object(oi):
         if names is not None:
             name = names[oi]
             verts, faces = mesh3d.load_obj(
@@ -70,14 +68,27 @@ def main(argv=None):
         else:
             name = f"box_{oi}"
             verts, faces = synthetic_box(oi)
-        for g0 in range(
-            args.gripper_start, args.gripper_start + args.num_fingers,
-            args.pairs_per_batch,
-        ):
-            gidx = list(
-                range(g0, min(g0 + args.pairs_per_batch,
-                              args.gripper_start + args.num_fingers))
-            )
+        return name, verts, faces
+
+    t0 = time.time()
+    done = 0
+    # gripper blocks OUTER, objects inner (the reference loops the other way,
+    # sim/run_sim_3d.sh): per-gripper host geometry (envelope bake + hull
+    # masses, ~2.7 s CPU each) is computed once per block and served from
+    # engine3d's gripper cache for every object — with the production
+    # workload (301 objects x 2,000 grippers) the object-outer order would
+    # redo ~450 host-hours of geometry.
+    for g0 in range(
+        args.gripper_start, args.gripper_start + args.num_fingers,
+        args.pairs_per_batch,
+    ):
+        gidx = list(
+            range(g0, min(g0 + args.pairs_per_batch,
+                          args.gripper_start + args.num_fingers))
+        )
+        for oi in range(args.object_start,
+                        args.object_start + args.num_objects):
+            name, verts, faces = load_object(oi)
             recs = generate_3d(
                 oi, name, verts, faces, gidx, save_dir=args.save_dir,
                 grid_size=args.grid_size, num_pos=args.num_pos,

@@ -153,3 +153,30 @@ def test_pyramid_solver_smoke():
         assert q[0] > 0.01 and q[1] < -0.01
     finally:
         engine3d.SOLVER3 = saved
+
+
+def test_gripper_host_work_cache():
+    """make_scene serves per-gripper geometry (envelope bake + hull masses)
+    from the LRU cache — identical scenes, ~2.7 s -> ~1 ms per repeat
+    (production datagen loops gripper blocks outer for exactly this)."""
+    import time
+
+    from dgdm_tpu.geom.fingers import sample_gripper_3d
+    from dgdm_tpu.geom.mesh3d import box_mesh
+
+    verts, faces = box_mesh()
+    op = engine3d.object_properties_3d(verts, faces)
+    yl, yr = sample_gripper_3d(7)
+    engine3d._GRIP_CACHE.clear()
+    s1 = engine3d.make_scene(yl, yr, verts, faces, obj_props=op)
+    t0 = time.time()
+    s2 = engine3d.make_scene(yl, yr, verts, faces, obj_props=op)
+    warm = time.time() - t0
+    assert warm < 0.5
+    np.testing.assert_array_equal(np.asarray(s1.hgrid), np.asarray(s2.hgrid))
+    np.testing.assert_array_equal(np.asarray(s1.finger_mass),
+                                  np.asarray(s2.finger_mass))
+    # different gripper -> different geometry (no false sharing)
+    yl2, yr2 = sample_gripper_3d(8)
+    s3 = engine3d.make_scene(yl2, yr2, verts, faces, obj_props=op)
+    assert not np.array_equal(np.asarray(s1.hgrid), np.asarray(s3.hgrid))
