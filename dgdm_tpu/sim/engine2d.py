@@ -224,6 +224,38 @@ def upsample_contour(poly: np.ndarray, k: int) -> np.ndarray:
     return dense.reshape(-1, poly.shape[1])
 
 
+# Per-jaw host work: the cubic coefficient transform is cheap, but the exact
+# MuJoCo jaw mass (hull of the full strip + 50 overlapping slab hulls,
+# geom/polygon.py:finger_cross_section_area) costs ~8 ms/jaw — at the
+# production workload (1,001 objects x 1,000 grippers) recomputing it per
+# PAIR is ~4.5 host-hours vs 16 s once-per-gripper. Same pattern as
+# engine3d's gripper cache.
+_FINGER_CACHE_2D: "dict[bytes, tuple]" = {}
+_FINGER_CACHE_2D_MAX = 4096
+
+
+def _finger_host_work_2d(y: np.ndarray):
+    from dgdm_tpu.geom.spline import cubic_basis_matrix, cubic_coef_operator
+
+    g = GRIPPER_2D
+    key = y.tobytes()
+    hit = _FINGER_CACHE_2D.get(key)
+    if hit is not None:
+        return hit
+    coef_op = cubic_coef_operator(g.num_ctrl, g.ctrl_x_min, g.ctrl_x_max)
+    coef = np.einsum("skn,n->sk", coef_op, y)
+    x_curve = np.linspace(g.ctrl_x_min, g.ctrl_x_max, g.num_curve_points)
+    basis = cubic_basis_matrix(g.num_ctrl, g.ctrl_x_min, g.ctrl_x_max, x_curve)
+    fmass = SIM.density * g.height * polygon_lib.finger_cross_section_area(
+        basis @ y, x_curve, g.width
+    )
+    if len(_FINGER_CACHE_2D) >= _FINGER_CACHE_2D_MAX:
+        _FINGER_CACHE_2D.pop(next(iter(_FINGER_CACHE_2D)))
+    out = (coef, float(fmass))
+    _FINGER_CACHE_2D[key] = out
+    return out
+
+
 def make_scene(
     yl: np.ndarray,
     yr: np.ndarray,
@@ -243,28 +275,16 @@ def make_scene(
 
     Pure numpy until the final device_put — eager per-op device dispatch is
     expensive on this platform, and scene building runs in host loops."""
-    from dgdm_tpu.geom.spline import cubic_basis_matrix, cubic_coef_operator
-
     g = GRIPPER_2D
-    coef_op = cubic_coef_operator(g.num_ctrl, g.ctrl_x_min, g.ctrl_x_max)
-    coef_l = np.einsum("skn,n->sk", coef_op, np.asarray(yl, np.float64))
-    coef_r = np.einsum("skn,n->sk", coef_op, np.asarray(yr, np.float64))
+    coef_l, ml = _finger_host_work_2d(np.asarray(yl, np.float64))
+    coef_r, mr = _finger_host_work_2d(np.asarray(yr, np.float64))
+    fmass = np.array([ml, mr])
     poly = contour_lib.ensure_ccw(np.asarray(contour, dtype=np.float64))
     area, com, i0 = polygon_lib.object_mass_properties_2d(poly)
     poly_c = upsample_contour(poly, contour_upsample)
     spts, sw = polygon_lib.support_points(poly, grid=support_grid)
     mass = SIM.density * area * OBJECT_2D.height
     inertia = SIM.density * OBJECT_2D.height * i0
-    x_curve = np.linspace(g.ctrl_x_min, g.ctrl_x_max, g.num_curve_points)
-    basis = cubic_basis_matrix(g.num_ctrl, g.ctrl_x_min, g.ctrl_x_max, x_curve)
-    fmass = np.array(
-        [
-            SIM.density * g.height * polygon_lib.finger_cross_section_area(
-                basis @ np.asarray(y, np.float64), x_curve, g.width
-            )
-            for y in (yl, yr)
-        ]
-    )
     # crack-fan anchors of the oracle's ear-clip decomposition. Probed and
     # REJECTED as a default (scripts/probe_anchor_2d.py, round 3): neither
     # fan-degree nor perpendicular-edge weights raise corr against the
