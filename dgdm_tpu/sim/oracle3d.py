@@ -17,12 +17,27 @@ from dgdm_tpu.core.config import GRIPPER_3D, SIM
 from dgdm_tpu.geom.spline import bspline_basis, clamped_knot_vector, gripper3d_surface
 
 
+_HEIGHT_JIT = None
+
+
+def _height_jit():
+    """Module-cached jit of the surface height eval: wrapping jax.jit
+    around a bound method PER CALL creates a fresh function identity and
+    recompiles every time (~0.3 s x 6 calls per gripper bake — measured as
+    the bulk of the 4 s per-gripper host work)."""
+    global _HEIGHT_JIT
+    if _HEIGHT_JIT is None:
+        import jax
+
+        _HEIGHT_JIT = jax.jit(gripper3d_surface().height)
+    return _HEIGHT_JIT
+
+
 def _surface_grid(y_ctrl: np.ndarray, sample_size: int = 25) -> np.ndarray:
     """(S, S, 3) surface points on the geomdl grid (x varies along axis 0)."""
     import jax.numpy as jnp
 
     g = GRIPPER_3D
-    surf = gripper3d_surface()
     uu = np.linspace(0, 1, sample_size)
     ku = clamped_knot_vector(g.degree_u, g.nu)
     kv = clamped_knot_vector(g.degree_v, g.nv)
@@ -34,10 +49,8 @@ def _surface_grid(y_ctrl: np.ndarray, sample_size: int = 25) -> np.ndarray:
     )
     gx = np.repeat(xs, sample_size)
     gz = np.tile(zs, sample_size)
-    import jax
-
     ys = np.asarray(
-        jax.jit(surf.height)(
+        _height_jit()(
             jnp.asarray(np.asarray(y_ctrl).reshape(g.nu, g.nv), jnp.float32),
             jnp.asarray(gx, jnp.float32),
             jnp.asarray(gz, jnp.float32),
