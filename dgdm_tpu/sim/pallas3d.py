@@ -943,16 +943,37 @@ def _profile_batch_pallas3d(
     return dth, sdpos, theta_f, valid > 0.5, fpos
 
 
+_FIT_CACHE: "dict[bytes, np.ndarray]" = {}
+_FIT_CACHE_MAX = 2048
+
+
 def scene_arrays_3d(scenes, calib=None) -> Tuple[jnp.ndarray, ...]:
     """Stacked Scene3D pytree -> (coefs, points, scalars) kernel inputs.
-    Fits the surface polynomials (host-side) from the stacked ctrl grids."""
+    Fits the surface polynomials (host-side) from the stacked ctrl grids.
+
+    Per-jaw fits (~50 ms each) are served from a bounded LRU keyed on the
+    control points + side + contact-surface mode — production datagen
+    (cli/datagen3d.py) loops gripper blocks OUTER so one block's fits are
+    reused for every object (same pattern as engine3d's gripper cache)."""
+    from dgdm_tpu.sim import engine3d as _e3mode
+
     yls = np.asarray(scenes.yl)                     # (B, 7, 3)
     yrs = np.asarray(scenes.yr)
     b = yls.shape[0]
     both = np.concatenate([yls, yrs], 0)            # (2B, 7, 3)
     # first half = left jaws (inner face +y), second half = right (-y)
     sides = ["upper"] * b + ["lower"] * b
-    fitted = fit_surface_batch(both, sides=sides)   # (2B, TOT_SEG, 4, 3)
+    mode = _e3mode.CONTACT_SURFACE_3D.encode()
+    keys = [both[i].tobytes() + sides[i].encode() + mode
+            for i in range(2 * b)]
+    miss = [i for i, k in enumerate(keys) if k not in _FIT_CACHE]
+    if miss:
+        new = fit_surface_batch(both[miss], sides=[sides[i] for i in miss])
+        for j, i in enumerate(miss):
+            if len(_FIT_CACHE) >= _FIT_CACHE_MAX:
+                _FIT_CACHE.pop(next(iter(_FIT_CACHE)))
+            _FIT_CACHE[keys[i]] = new[j]
+    fitted = np.stack([_FIT_CACHE[k] for k in keys])  # (2B, TOT_SEG, 4, 3)
     coefs = np.stack([fitted[:b], fitted[b:]], axis=1).astype(np.float32)
     pts = np.asarray(scenes.points)
     points = np.concatenate(
