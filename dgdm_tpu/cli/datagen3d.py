@@ -59,7 +59,15 @@ def main(argv=None):
     else:
         names = None
 
+    # gripper blocks loop OUTER (below), so each object is requested once
+    # per block — memoize the OBJ parse (301 objects x ~63 blocks would
+    # otherwise re-read every mesh ~63 times)
+    obj_cache: dict = {}
+
     def load_object(oi):
+        hit = obj_cache.get(oi)
+        if hit is not None:
+            return hit
         if names is not None:
             name = names[oi]
             verts, faces = mesh3d.load_obj(
@@ -68,7 +76,8 @@ def main(argv=None):
         else:
             name = f"box_{oi}"
             verts, faces = synthetic_box(oi)
-        return name, verts, faces
+        obj_cache[oi] = (name, verts, faces)
+        return obj_cache[oi]
 
     t0 = time.time()
     done = 0

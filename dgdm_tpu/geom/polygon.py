@@ -225,7 +225,13 @@ def earclip_anchor_weights(poly: np.ndarray,
     """
     from dgdm_tpu.geom.contour import ensure_ccw
 
-    p = ensure_ccw(np.asarray(poly, dtype=np.float64))
+    poly = np.asarray(poly, dtype=np.float64)
+    p = ensure_ccw(poly)
+    # ensure_ccw reverses CW input — compute in CCW order but return weights
+    # indexed by the CALLER's order (the docstring contract; engine2d
+    # make_scene attaches them to scene.anchor by index). Same area test.
+    x, y = poly[:, 0], poly[:, 1]
+    reversed_in = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) < 0
     n = len(p)
     if variant == "rolled":
         r = n // 3
@@ -241,7 +247,8 @@ def earclip_anchor_weights(poly: np.ndarray,
                 deg[t] += 1.0
         if deg.sum() <= 0:
             return np.ones(n)
-        return deg / deg.mean()
+        out = deg / deg.mean()
+        return out[::-1] if reversed_in else out
     # mode == "perp": crack walls only block tangential sliding to the
     # extent they stand perpendicular to the local surface — weight each
     # INTERIOR edge at the vertex by |sin(angle to the contour tangent)|.
@@ -262,7 +269,8 @@ def earclip_anchor_weights(poly: np.ndarray,
             w[b] += abs(e[0] * tang[b][1] - e[1] * tang[b][0])
     if w.sum() <= 0:
         return np.ones(n)
-    return w / w.mean()
+    out = w / w.mean()
+    return out[::-1] if reversed_in else out
 
 
 def dedupe_polygon(verts: np.ndarray, tol: float = 1e-12) -> np.ndarray:

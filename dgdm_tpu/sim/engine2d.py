@@ -239,8 +239,9 @@ def _finger_host_work_2d(y: np.ndarray):
 
     g = GRIPPER_2D
     key = y.tobytes()
-    hit = _FINGER_CACHE_2D.get(key)
+    hit = _FINGER_CACHE_2D.pop(key, None)
     if hit is not None:
+        _FINGER_CACHE_2D[key] = hit     # pop+reinsert: true LRU, not FIFO
         return hit
     coef_op = cubic_coef_operator(g.num_ctrl, g.ctrl_x_min, g.ctrl_x_max)
     coef = np.einsum("skn,n->sk", coef_op, y)

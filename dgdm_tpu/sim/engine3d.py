@@ -242,8 +242,9 @@ _GRIP_CACHE_MAX = 1024          # ~300 MB of (193, 65, 3) f32 grids
 def _gripper_host_work(yl: np.ndarray, yr: np.ndarray):
     key = (yl.tobytes() + yr.tobytes()
            + CONTACT_SURFACE_3D.encode())
-    hit = _GRIP_CACHE.get(key)
+    hit = _GRIP_CACHE.pop(key, None)
     if hit is not None:
+        _GRIP_CACHE[key] = hit          # pop+reinsert: true LRU, not FIFO
         return hit
     out = (bake_height_grids(yl, yr), finger_masses_3d(yl, yr))
     if len(_GRIP_CACHE) >= _GRIP_CACHE_MAX:
@@ -804,7 +805,9 @@ def step_newton3(
         # reconstruct converged contact impulses for offline diagnostics
         # (scripts/diag_snap3d.py): per-row normal/friction torque about z
         vrel, vn, vt, res, lam_n, cap_t, vt_norm, fac = forces(u)
-        f_t = fac[..., None] * vt                       # (3, P, 3) impulse
+        # Stationarity: hm(u - u_unc) = Jn^T lam_n - G^T (fac * vt), so the
+        # friction impulse ON THE OBJECT is -fac*vt (it opposes slip).
+        f_t = -fac[..., None] * vt                      # (3, P, 3) impulse
         tq_n = jnp.einsum("cp,cpi->ci", lam_n, rxn)     # torque-impulse (3,3)
         rxf = jnp.cross(jnp.broadcast_to(r, f_t.shape), f_t)
         tq_t = jnp.sum(rxf, axis=1)                     # (3, 3)

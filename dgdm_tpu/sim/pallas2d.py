@@ -729,6 +729,17 @@ def scene_arrays(scenes, calib=None) -> Tuple[jnp.ndarray, ...]:
 
     if calib is None:
         calib = _e2.default_calib()
+    # the fused kernel does not implement per-vertex crack anchors
+    # (Scene2D.anchor, triangulation != "uniform" — a rejected-by-default
+    # probe feature); refuse to silently drop them on the default TPU path
+    anc = np.asarray(scenes.anchor)
+    if anc.ndim and anc.shape[-1] > 1 and not np.allclose(anc, 1.0):
+        import warnings
+
+        warnings.warn(
+            "scene_arrays: non-uniform Scene2D.anchor is ignored by the "
+            "Pallas kernel; use the engine path (use_pallas=False) for "
+            "anchored triangulations", stacklevel=2)
     # numpy on host (cheap, avoids eager device dispatch), one device_put each
     coefs = np.stack(
         [np.asarray(scenes.coef_l), np.asarray(scenes.coef_r)], axis=1

@@ -967,13 +967,24 @@ def scene_arrays_3d(scenes, calib=None) -> Tuple[jnp.ndarray, ...]:
     keys = [both[i].tobytes() + sides[i].encode() + mode
             for i in range(2 * b)]
     miss = [i for i, k in enumerate(keys) if k not in _FIT_CACHE]
+    fresh: "dict[bytes, np.ndarray]" = {}
     if miss:
         new = fit_surface_batch(both[miss], sides=[sides[i] for i in miss])
         for j, i in enumerate(miss):
-            if len(_FIT_CACHE) >= _FIT_CACHE_MAX:
-                _FIT_CACHE.pop(next(iter(_FIT_CACHE)))
-            _FIT_CACHE[keys[i]] = new[j]
-    fitted = np.stack([_FIT_CACHE[k] for k in keys])  # (2B, TOT_SEG, 4, 3)
+            fresh[keys[i]] = new[j]
+    # Materialise the batch BEFORE evicting (eviction during insertion could
+    # drop a key this very batch still needs), and pop+reinsert hits so the
+    # eviction order is true LRU, not FIFO.
+    rows = []
+    for k in keys:
+        v = fresh.get(k)
+        if v is None:
+            v = _FIT_CACHE.pop(k)
+        _FIT_CACHE[k] = v
+        rows.append(v)
+    while len(_FIT_CACHE) > _FIT_CACHE_MAX:
+        _FIT_CACHE.pop(next(iter(_FIT_CACHE)))
+    fitted = np.stack(rows)                          # (2B, TOT_SEG, 4, 3)
     coefs = np.stack([fitted[:b], fitted[b:]], axis=1).astype(np.float32)
     pts = np.asarray(scenes.points)
     points = np.concatenate(

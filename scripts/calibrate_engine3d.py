@@ -185,6 +185,11 @@ def main():
     for it in range(args.opt_steps):
         ii = rng.choice(train_idx, size=args.chunk, replace=False)
         loss, g = grad_fn(lp, take(scenes, ii), mjj[ii], maskj[ii])
+        # w_fmult ships as an exact no-op probe knob (=1.0, rejected round-3
+        # mechanism); it has a nonzero gradient through step_newton3's el_w
+        # term, so pin it here or the fit silently turns it into a 10th
+        # physics parameter.
+        g = g.replace(w_fmult=jnp.zeros_like(g.w_fmult))
         updates, opt_state = tx.update(g, opt_state)
         lp = jax.tree.map(lambda a, b: a + b, lp, updates)
         if it % 5 == 0:

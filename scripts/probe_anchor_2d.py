@@ -94,30 +94,11 @@ def main():
         return np.concatenate(en)
 
     rows = {}
-    variants = {
-        "uniform": None,        # anchor = 1 (decomposition-agnostic)
-        "default": "default",   # oracle's actual ear-clip
-        "rolled": "rolled",     # rolled-start ear-clip (objroll oracle)
-    }
-    for name, tri in variants.items():
-        if tri is None:
-            scenes_tri = "default"
-            en = run_suite_uniform = None
-            # build with anchors replaced by 1
-            scenes = []
-            for yl, yr, c in zip(d["yl"], d["yr"], d["contours"]):
-                sc = engine2d.make_scene(yl, yr, c)
-                scenes.append(sc.replace(anchor=jnp.float32(1.0)))
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
-            fn = jax.jit(lambda s: engine2d.profile_batch(
-                s, poses, steps=steps, calib=calib)[0])
-            en = []
-            for s in range(0, len(scenes), args.chunk):
-                sub = jax.tree.map(lambda x: x[s:s + args.chunk], stacked)
-                en.append(np.asarray(fn(sub)))
-            en = np.concatenate(en)
-        else:
-            en = run_suite(tri)
+    # make_scene's "uniform" triangulation yields anchor == 1 exactly
+    # (decomposition-agnostic), so all three variants go through run_suite.
+    variants = ("uniform", "default", "rolled")
+    for name in variants:
+        en = run_suite(name)
         for tname, tgt in (("s50", tgt_std), ("objroll", tgt_roll)):
             c, r, a, n = score(en, tgt)
             rows[f"{name}->{tname}"] = {"corr": c, "ratio": r, "agree": a}

@@ -137,6 +137,13 @@ def main():
                 print(f"[{phase} {it}] {tot:+.3f} "
                       f"[{time.time()-t0:.0f}s]", flush=True)
 
+    if best is None:
+        # every sampled config produced non-finite rollouts — nothing to
+        # report; bail instead of NameError-ing on best_stats below
+        print("no finite config found across the whole search; "
+              "no JSON written", flush=True)
+        sys.exit(1)
+
     out = {
         "fitted": best_vals,
         "train": dict(zip(("score", "corr", "ratio", "agree"),

@@ -215,6 +215,12 @@ def test_earclip_anchor_weights():
     w0 = earclip_anchor_weights(poly)
     w1 = earclip_anchor_weights(poly, variant="rolled")
     assert not np.allclose(w0, w1)
+    # CW input: weights must come back in the CALLER's vertex order (the
+    # docstring contract), i.e. w(poly[::-1]) == w(poly)[::-1]
+    for mode in ("degree", "perp"):
+        w_ccw = earclip_anchor_weights(poly, mode=mode)
+        w_cw = earclip_anchor_weights(poly[::-1].copy(), mode=mode)
+        np.testing.assert_allclose(w_cw, w_ccw[::-1], atol=1e-12)
 
     contour = extract_contours(make_icon(3))
     yl, yr = sample_gripper_2d(0)
