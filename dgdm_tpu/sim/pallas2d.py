@@ -47,6 +47,10 @@ LANE = 128
 # the friction caps under-brakes (ratio 1.65) because the fitted constants
 # were calibrated against the cold-start lagged-cone transient.
 NEWTON_KERNEL_ITERS = 4
+# settled-travel fast-path gate (see pallas3d.EPS_SETTLED): post-solve
+# velocity magnitude below which the object counts as statically supported
+# (travel-phase residual ~1e-6; transients 5e-2+, runs/calib/probe_settle.json)
+EPS_SETTLED = 1e-4
 
 
 def _segment_coefs(coef_ref, finger: int, seg: jnp.ndarray):
@@ -141,19 +145,8 @@ def _rollout_kernel(
     ctrl_r = -ctrl_l
     d_imp = jnp.float32(IMPEDANCE)
 
-    def step_body(i, st):
-        (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr,
-         scx, scy, sth) = st
-        if regrasp_every:
-            do_rg = (i % regrasp_every == 0) & (i > 0)
-            ql = jnp.where(do_rg, 0.0, ql)
-            qr = jnp.where(do_rg, 0.0, qr)
-            qdl = jnp.where(do_rg, 0.0, qdl)
-            qdr = jnp.where(do_rg, 0.0, qdr)
-            vx = jnp.where(do_rg, 0.0, vx)
-            vy = jnp.where(do_rg, 0.0, vy)
-            om = jnp.where(do_rg, 0.0, om)
-            vz = jnp.where(do_rg, 0.0, vz)
+    def _normal_step(st):
+        (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr) = st
 
         c, s = jnp.cos(th), jnp.sin(th)            # (1, L)
 
@@ -497,8 +490,6 @@ def _rollout_kernel(
 
                 return tuple(u)
 
-            def _cheap_solve(u0_t):                return tuple(u)
-
             def _cheap_solve(u0_t):
                 # no finger contact anywhere in the block: plane friction +
                 # torsion only — 2 Newton iterations on the 3-DOF subproblem
@@ -585,20 +576,76 @@ def _rollout_kernel(
             vx, vy, om = u[0], u[1], u[2]
             qdl, qdr = u[3], u[4]
 
-        cx2 = cx + dt * vx
-        cy2 = cy + dt * vy
-        th2 = th + dt * om
-        take = (i + 1) == snapshot_step
-        scx = jnp.where(take, cx2, scx)
-        scy = jnp.where(take, cy2, scy)
-        sth = jnp.where(take, th2, sth)
         return (
-            cx2, cy2, th2,
+            cx + dt * vx, cy + dt * vy, th + dt * om,
             vx, vy, om,
             zb + dt * vz, vz,
             ql + dt * qdl, qr + dt * qdr, qdl, qdr,
-            scx, scy, sth,
         )
+
+    def _travel_step(st):
+        """Settled-travel fast path (see pallas3d._travel_step): the object
+        is a static fixed point of the step map (post-solve velocities ~ 0
+        with gravity applied), no finger contact is reachable this step, so
+        only the finger servo advances — identical to the engines' no-contact
+        unconstrained update. Skips all (P, L) narrow-phase + solver work."""
+        (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr) = st
+        f_l = g.kp * (ctrl_l - ql) - g.joint_damping * qdl
+        f_r = g.kp * (ctrl_r - qr) - g.joint_damping * qdr
+        qdl = qdl + dt * f_l * inv_fml
+        qdr = qdr + dt * f_r * inv_fmr
+        return (cx, cy, th, vx, vy, om, zb, vz,
+                ql + dt * qdl, qr + dt * qdr, qdl, qdr)
+
+    def step_body(i, st):
+        (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr,
+         scx, scy, sth) = st
+        is_rg = jnp.asarray(False)
+        if regrasp_every:
+            do_rg = (i % regrasp_every == 0) & (i > 0)
+            ql = jnp.where(do_rg, 0.0, ql)
+            qr = jnp.where(do_rg, 0.0, qr)
+            qdl = jnp.where(do_rg, 0.0, qdl)
+            qdr = jnp.where(do_rg, 0.0, qdr)
+            vx = jnp.where(do_rg, 0.0, vx)
+            vy = jnp.where(do_rg, 0.0, vy)
+            om = jnp.where(do_rg, 0.0, om)
+            vz = jnp.where(do_rg, 0.0, vz)
+            # a regrasp zeroes velocities WITHOUT a solve confirming
+            # equilibrium: force a normal step to re-validate.
+            is_rg = do_rg
+
+        # ---- settled-travel gate (all (1, L) work) ----
+        # settled: post-solve velocities ~ 0 — gravity was applied in that
+        # solve, so ~0 means static support, a fixed point of the step map.
+        mot = jnp.maximum(jnp.maximum(jnp.abs(vx), jnp.abs(vy)),
+                          jnp.maximum(jnp.abs(om), jnp.abs(vz)))
+        settled = jnp.max(mot) < EPS_SETTLED
+        # no finger contact reachable at the current OR post-step jaw
+        # position (same conservative bounding-circle broad phase as the
+        # solver's full/cheap gate, scal slots 14/15)
+        f_l = g.kp * (ctrl_l - ql) - g.joint_damping * qdl
+        f_r = g.kp * (ctrl_r - qr) - g.joint_damping * qdr
+        ql_n = ql + dt * (qdl + dt * f_l * inv_fml)
+        qr_n = qr + dt * (qdr + dt * f_r * inv_fmr)
+        broad_a = scal_ref[0, 0, 14]
+        broad_b = scal_ref[0, 0, 15]
+        marg = jnp.float32(1e-4)
+        maybe = ((cy - marg <= broad_a + jnp.maximum(ql, ql_n))
+                 | (cy + marg >= broad_b + jnp.minimum(qr, qr_n)))
+        travel = settled & (jnp.sum(maybe.astype(jnp.float32)) == 0.0) \
+            & jnp.logical_not(is_rg)
+
+        dyn = (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr)
+        dyn = jax.lax.cond(travel, _travel_step, _normal_step, dyn)
+        (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr) = dyn
+
+        take = (i + 1) == snapshot_step
+        scx = jnp.where(take, cx, scx)
+        scy = jnp.where(take, cy, scy)
+        sth = jnp.where(take, th, sth)
+        return (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr,
+                scx, scy, sth)
 
     state = jax.lax.fori_loop(0, steps, step_body, state)
     (cx, cy, th, *_r) = state

@@ -31,6 +31,11 @@ from dgdm_tpu.sim.surface_fit import (
 )
 
 LANE = 128
+# settled-travel fast-path gate: post-solve velocity magnitude below which
+# the object counts as statically supported (measured travel-phase residual
+# ~2e-6 m/s; drop/grip transients are 5e-2..5e-1 — 3+ decades of separation,
+# runs/calib/probe_settle.json)
+EPS_SETTLED = 1e-4
 
 
 def _surface_eval(coef_ref, finger: int, seg, t, s):
@@ -147,28 +152,16 @@ def _rollout3d_kernel(
         zero, zero, zero,            # vel
         zero, zero, zero,            # om (world)
         zero, zero, zero, zero,      # ql, qr, qdl, qdr
+        zero - 1e9, zero - 1e9,      # travel cache (invalid until a solve)
         px + zero, py + zero, qw0 + zero, qz0 + zero,  # snapshot
     )
 
     ctrl_l = jnp.float32(min(ctrl_mag, g.ctrl_clamped))
     d_imp = jnp.float32(IMPEDANCE)
 
-    def step_body(i, st):
+    def _normal_step(st):
         (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-         ox, oy, oz, ql, qr, qdl, qdr, spx, spy, sqw, sqz) = st
-        if regrasp_every:
-            rg = (i % regrasp_every == 0) & (i > 0)
-            z_ = jnp.float32(0.0)
-            ql = jnp.where(rg, z_, ql)
-            qr = jnp.where(rg, z_, qr)
-            qdl = jnp.where(rg, z_, qdl)
-            qdr = jnp.where(rg, z_, qdr)
-            vx = jnp.where(rg, z_, vx)
-            vy = jnp.where(rg, z_, vy)
-            vz = jnp.where(rg, z_, vz)
-            ox = jnp.where(rg, z_, ox)
-            oy = jnp.where(rg, z_, oy)
-            oz = jnp.where(rg, z_, oz)
+         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx) = st
 
         # rotation matrix from quaternion (1, L)
         r00 = 1 - 2 * (qy * qy + qz * qz)
@@ -212,6 +205,11 @@ def _rollout3d_kernel(
         wx = px + rx
         wy = py + ry
         wz = pz + rz
+        # refresh the settled-travel broad-phase cache: the object's wy span
+        # as of this (normal) step. Valid for subsequent travel fast-path
+        # steps because those freeze the object (see step_body).
+        wyn = jnp.min(wy, 0, keepdims=True)
+        wyx = jnp.max(wy, 0, keepdims=True)
 
         def contact_frame(nx, ny, nz):
             # r x n
@@ -787,13 +785,11 @@ def _rollout3d_kernel(
             # wy span can reach a finger surface (surface extrema precomputed
             # in scene_arrays_3d, scal slots 25/26; conservative — ignores
             # the x/z window). Gated per 128-lane block.
-            wy_min = jnp.min(wy, 0, keepdims=True)
-            wy_max = jnp.max(wy, 0, keepdims=True)
             br_fmax_l = scal_ref[0, 0, 25]
             br_fmin_r = scal_ref[0, 0, 26]
             maybe = (
-                (wy_min <= (-g.jaw_offset + g.width) + ql + br_fmax_l)
-                | (wy_max >= g.jaw_offset + qr + br_fmin_r)
+                (wyn <= (-g.jaw_offset + g.width) + ql + br_fmax_l)
+                | (wyx >= g.jaw_offset + qr + br_fmin_r)
             ).astype(jnp.float32)
             u = list(jax.lax.cond(jnp.sum(maybe) > 0.0,
                                   _full_solve, _cheap_solve, tuple(u_unc)))
@@ -817,17 +813,95 @@ def _rollout3d_kernel(
         qw, qx, qy, qz = qw * qn, qx * qn, qy * qn, qz * qn
         ql = ql + dt * qdl
         qr = qr + dt * qdr
+        return (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
+                ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx)
+
+    def _travel_step(st):
+        """Settled-travel fast path: the object is a static fixed point of
+        the step map (post-solve |v| < EPS_SETTLED with gravity applied means
+        the plane supports it), no finger contact is reachable this step, so
+        only the finger servo advances — its no-contact update is EXACTLY the
+        engines' unconstrained update (cheap_solve keeps the finger DOFs at
+        u_unc). Skips all (P, L) work: ~60-75% of a datagen squeeze is this
+        phase (runs/calib/probe_settle.json)."""
+        (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
+         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx) = st
+        f_l = g.kp * (ctrl_l - ql) - g.joint_damping * qdl
+        f_r = g.kp * (-ctrl_l - qr) - g.joint_damping * qdr
+        qdl = qdl + dt * f_l * inv_fml
+        qdr = qdr + dt * f_r * inv_fmr
+        ql = ql + dt * qdl
+        qr = qr + dt * qdr
+        return (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
+                ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx)
+
+    def step_body(i, st):
+        (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
+         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, spx, spy, sqw, sqz) = st
+        if regrasp_every:
+            rg = (i % regrasp_every == 0) & (i > 0)
+            z_ = jnp.float32(0.0)
+            ql = jnp.where(rg, z_, ql)
+            qr = jnp.where(rg, z_, qr)
+            qdl = jnp.where(rg, z_, qdl)
+            qdr = jnp.where(rg, z_, qdr)
+            vx = jnp.where(rg, z_, vx)
+            vy = jnp.where(rg, z_, vy)
+            vz = jnp.where(rg, z_, vz)
+            ox = jnp.where(rg, z_, ox)
+            oy = jnp.where(rg, z_, oy)
+            oz = jnp.where(rg, z_, oz)
+            # a regrasp zeroes velocities WITHOUT a solve confirming
+            # equilibrium (the released object may need to relax under
+            # gravity): invalidate the travel cache so the next step runs
+            # the full physics and re-validates it.
+            wyn = jnp.where(rg, jnp.float32(-1e9), wyn)
+
+        # ---- settled-travel gate (all (1, L) work) ----
+        # settled: post-solve velocities of the LAST normal step ~ 0 — the
+        # solve included gravity, so ~0 means static equilibrium, a fixed
+        # point of the step map. Gated per 128-lane block.
+        mot = jnp.maximum(
+            jnp.maximum(jnp.abs(vx), jnp.abs(vy)), jnp.abs(vz))
+        mot = jnp.maximum(
+            mot, jnp.maximum(jnp.maximum(jnp.abs(ox), jnp.abs(oy)),
+                             jnp.abs(oz)))
+        settled = jnp.max(mot) < EPS_SETTLED
+        # no finger contact reachable at the current OR the post-step jaw
+        # position (the jaw can only close as fast as its servo update).
+        f_l = g.kp * (ctrl_l - ql) - g.joint_damping * qdl
+        f_r = g.kp * (-ctrl_l - qr) - g.joint_damping * qdr
+        ql_n = ql + dt * (qdl + dt * f_l * inv_fml)
+        qr_n = qr + dt * (qdr + dt * f_r * inv_fmr)
+        br_fmax_l = scal_ref[0, 0, 25]
+        br_fmin_r = scal_ref[0, 0, 26]
+        marg = jnp.float32(1e-4)  # covers dt*EPS pose drift of one step
+        maybe = (
+            (wyn - marg <= (-g.jaw_offset + g.width)
+             + jnp.maximum(ql, ql_n) + br_fmax_l)
+            | (wyx + marg >= g.jaw_offset + jnp.minimum(qr, qr_n)
+               + br_fmin_r)
+        ).astype(jnp.float32)
+        travel = settled & (jnp.sum(maybe) == 0.0)
+
+        dyn = (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
+               ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx)
+        dyn = jax.lax.cond(travel, _travel_step, _normal_step, dyn)
+        (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
+         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx) = dyn
+
         take = (i + 1) == snapshot_step
         spx = jnp.where(take, px, spx)
         spy = jnp.where(take, py, spy)
         sqw = jnp.where(take, qw, sqw)
         sqz = jnp.where(take, qz, sqz)
         return (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-                ox, oy, oz, ql, qr, qdl, qdr, spx, spy, sqw, sqz)
+                ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx,
+                spx, spy, sqw, sqz)
 
     state = jax.lax.fori_loop(0, steps, step_body, state)
     (px, py, pz, qw, qx, qy, qz, *_rest) = state
-    spx, spy, sqw, sqz = state[17], state[18], state[19], state[20]
+    spx, spy, sqw, sqz = state[19], state[20], state[21], state[22]
     if snapshot_step <= 0 or snapshot_step >= steps:
         spx, spy, sqw, sqz = px, py, qw, qz
 
