@@ -1,0 +1,290 @@
+"""3D task-level fidelity experiment — the 3D counterpart of
+``scripts/fidelity_task_2d.py`` (VERDICT r2 item 2, extended to the path
+whose statistical correlation has open headroom, 0.705 vs the 0.937
+decomposition ceiling): does a PointNet++ dynamics model trained on
+ENGINE-generated 3D interaction profiles match one trained on MuJoCo
+profiles, on the pipeline's own terms?
+
+On a fixed object x gripper x orientation set:
+  dataset A = engine labels (sim/datagen3d.generate_3d, the framework path)
+  dataset B = MuJoCo oracle labels (sim/oracle3d.Oracle3D, the reference's
+              datagen, sim/sim_3d.py:144-171)
+Then:
+  (a) train the same ProfileForward3D on each; report both models' 3-class
+      accuracy on MUJOCO-labeled held-out grippers (dynamics/main.py:17-52);
+  (b) guided-sample grippers with each classifier and verify ALL sample
+      sets in the MUJOCO oracle (generator/diffusion.py:577-580) — whether
+      engine labels train equally useful guidance classifiers in 3D.
+
+Writes runs/fidelity_task3d/summary.json.
+
+    python scripts/fidelity_task_3d.py      # engine datagen + training on
+    # the default backend (TPU when available); the oracle is MuJoCo/CPU
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgdm_tpu.core.config import GUIDANCE, NORM
+from dgdm_tpu.design.guidance import GuidedSampler
+from dgdm_tpu.eval.metrics import metric2objective, three_class, wrap_pi
+from dgdm_tpu.geom import mesh3d
+from dgdm_tpu.geom.fingers import ctrlpts_3d, denormalize_y, sample_gripper_3d
+from dgdm_tpu.models.profile3d import ProfileForward3D
+from dgdm_tpu.models.unet1d import ConditionalUnet1D
+from dgdm_tpu.sim.datagen3d import generate_3d
+from dgdm_tpu.sim.engine2d import pose_grid
+from dgdm_tpu.sim.oracle3d import Oracle3D
+from dgdm_tpu.train.data import normalize_record_3d, procedural_grippers
+from dgdm_tpu.train.dynamics import DynamicsTrainer
+from dgdm_tpu.train.generator import GeneratorTrainer
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "runs", "fidelity_task3d")
+N_GRIPPERS = 24          # per object; last VAL_GRIPPERS held out
+VAL_GRIPPERS = 6
+GRID = 24                # orientations (reference: 40x3 grid)
+DYN_STEPS = 3000         # same budget for BOTH arms — only labels differ
+DIFF_STEPS = 1600
+OBJECTIVES = ("rotate_clockwise", "shift_right")
+N_SAMPLES = 8
+EVAL_ROT = 48            # oracle-verification orientations per sample
+SAMPLE_GRID = 45         # guided_sample_3d.sh grid size
+
+
+def demo_objects():
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location(
+        "suite3d", os.path.join(os.path.dirname(__file__),
+                                "build_oracle_suite3d.py"))
+    m = ilu.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return [
+        mesh3d.box_mesh(0.04, 0.05, 0.035, 0.035),
+        m.prism_mesh(6, 0.05, 0.07, aspect=0.75),
+    ]
+
+
+def mj_records(verts, faces, gripper_indices, thetas, steps=800):
+    """MuJoCo-labeled 3D records, reference npz layout (sim/sim_3d.py:
+    144-171; give-up on any non-upright rollout -> None)."""
+    records = []
+    for gi in gripper_indices:
+        yl, yr = sample_gripper_3d(gi)
+        oracle = Oracle3D(yl, yr, verts, faces)
+        dth = np.zeros(len(thetas), np.float32)
+        dpos = np.zeros((len(thetas), 3), np.float32)
+        ok = True
+        for j, th in enumerate(thetas):
+            d, dp, _f, up = oracle.rollout(0.0, 0.0, float(th), steps=steps)
+            if not up:
+                ok = False
+                break
+            dth[j] = d
+            dpos[j] = dp
+        if not ok:
+            records.append(None)
+            continue
+        records.append({
+            "ctrlpts": ctrlpts_3d(yl, yr).astype(np.float32),
+            "obj_pos": np.zeros((len(thetas), 3), np.float32),
+            "obj_theta": thetas.astype(np.float32),
+            "delta_theta": dth,
+            "delta_pos": dpos,
+        })
+    return records
+
+
+def train_dynamics(rows_train, rows_val, seed=0, steps=DYN_STEPS):
+    classifier = ProfileForward3D(params_ch=42)
+    dtr = DynamicsTrainer(classifier, learning_rate=3e-4, total_steps=steps,
+                          fingers_3d=True)
+
+    def stack(rs):
+        return {k: np.concatenate([r[k] for r in rs], 0) for k in rs[0]}
+
+    tr = stack(rows_train)
+    va = stack(rows_val)
+    n = tr["ctrl"].shape[0]
+    rng = np.random.RandomState(seed)
+    bs = 256  # PointNet++ ball-query activations bound the batch (demo_3d)
+    dstate = dtr.init(jax.random.PRNGKey(seed),
+                      {k: jnp.asarray(v[:64]) for k, v in tr.items()})
+    key = jax.random.PRNGKey(seed + 1)
+    for _ in range(steps):
+        idx = rng.randint(0, n, bs)
+        key, k = jax.random.split(key)
+        dstate, m = dtr.train_step(
+            dstate, {k2: jnp.asarray(v[idx]) for k2, v in tr.items()}, k)
+    vidx = rng.randint(0, va["ctrl"].shape[0], bs)
+    vm = dtr.eval_step(
+        dstate, {k: jnp.asarray(v[vidx]) for k, v in va.items()}, key)
+    stats = {kk: float(vm[kk]) for kk in ("loss", "acc_ori", "acc_x", "acc_y")}
+    return classifier, dstate, stats
+
+
+def oracle_eval_3d(samples, verts, faces, thetas, objective, steps=800):
+    """Verify normalized 42-d samples in the MuJoCo oracle; per-gripper
+    objective table (the reference's sim_test_mj_3d verification,
+    first-squeeze profile)."""
+    th3 = NORM.threshold_3d
+    y = np.asarray(denormalize_y(np.asarray(samples)[..., 0], fingers_3d=True))
+    n = y.shape[1] // 2
+    tables = []
+    for i in range(y.shape[0]):
+        oracle = Oracle3D(y[i, :n], y[i, n:], verts, faces)
+        dth = np.zeros(len(thetas))
+        dpos = np.zeros((len(thetas), 3))
+        fth = np.zeros(len(thetas))
+        for j, t0 in enumerate(thetas):
+            d, dp, f, _up = oracle.rollout(0.0, 0.0, float(t0), steps=steps)
+            dth[j], dpos[j], fth[j] = d, dp, f
+        fdt = np.asarray([wrap_pi(f - t0) for f, t0 in zip(fth, thetas)])
+        metric = {
+            "delta_theta": dth * 180 / np.pi,
+            "delta_pos": dpos[:, :2] * 100,
+            "profile": three_class(dth, th3[0]),
+            "profile_x": three_class(dpos[:, 0], th3[1]),
+            "profile_y": three_class(dpos[:, 1], th3[2]),
+            "final_theta": fth * 180 / np.pi,
+            "final_delta_theta": fdt * 180 / np.pi,
+            "final_pos": dpos[:, :2] * 100,
+        }
+        tables.append(metric2objective(metric, objective))
+    sr = [t["success_rate"] for t in tables]
+    return {"mean_success": float(np.mean(sr)),
+            "best_success": float(np.max(sr))}
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    summary = {"config": {"objects": 2, "grippers": N_GRIPPERS,
+                          "val_grippers": VAL_GRIPPERS, "grid": GRID,
+                          "eval_rot": EVAL_ROT, "samples": N_SAMPLES}}
+    objects = demo_objects()
+    thetas = np.asarray(pose_grid(grid_size=GRID, num_pos=1)[:, 2],
+                        np.float32)
+
+    # ---- dataset A: engine labels -----------------------------------------
+    t0 = time.time()
+    rec_a = []
+    for oi, (verts, faces) in enumerate(objects):
+        rec_a += generate_3d(oi, f"fid{oi}", verts, faces,
+                             list(range(N_GRIPPERS)), grid_size=GRID,
+                             num_pos=1)
+    summary["engine_datagen_seconds"] = time.time() - t0
+    print("engine datagen done", summary["engine_datagen_seconds"], flush=True)
+
+    # ---- dataset B: MuJoCo labels -----------------------------------------
+    t0 = time.time()
+    rec_b = []
+    for oi, (verts, faces) in enumerate(objects):
+        rec_b += mj_records(verts, faces, list(range(N_GRIPPERS)), thetas)
+        print(f"mj object {oi} done {time.time()-t0:.0f}s", flush=True)
+    summary["mujoco_datagen_seconds"] = time.time() - t0
+
+    # keep only pairs BOTH simulators kept upright (identical pair sets)
+    keep = [i for i in range(len(rec_a))
+            if rec_a[i] is not None and rec_b[i] is not None]
+    summary["pairs_kept"] = {"total": len(rec_a), "kept": len(keep),
+                             "engine_gaveup": sum(r is None for r in rec_a),
+                             "mujoco_gaveup": sum(r is None for r in rec_b)}
+    print("pairs:", summary["pairs_kept"], flush=True)
+
+    da = np.stack([rec_a[i]["delta_theta"] for i in keep])
+    db = np.stack([rec_b[i]["delta_theta"] for i in keep])
+    cls_a = three_class(da, NORM.threshold_3d[0])
+    cls_b = three_class(db, NORM.threshold_3d[0])
+    summary["label_agreement"] = {
+        "corr": float(np.corrcoef(da.reshape(-1), db.reshape(-1))[0, 1]),
+        "std_ratio": float(da.std() / db.std()),
+        "class_agree": float((cls_a == cls_b).mean()),
+    }
+    print("labels:", summary["label_agreement"], flush=True)
+
+    # ---- split by gripper; val labels ALWAYS MuJoCo -----------------------
+    clouds = {oi: mesh3d.sample_surface(v, f, 512, seed=oi)
+              for oi, (v, f) in enumerate(objects)}
+
+    def rows_of(recs, idxs):
+        out = []
+        for i in idxs:
+            oi = i // N_GRIPPERS
+            out.append(normalize_record_3d(recs[i], clouds[oi]))
+        return out
+
+    tr_idx = [i for i in keep if i % N_GRIPPERS < N_GRIPPERS - VAL_GRIPPERS]
+    va_idx = [i for i in keep if i % N_GRIPPERS >= N_GRIPPERS - VAL_GRIPPERS]
+    tra = rows_of(rec_a, tr_idx)
+    trb = rows_of(rec_b, tr_idx)
+    vab = rows_of(rec_b, va_idx)
+
+    # ---- (a) train on each, evaluate on MuJoCo-labeled val ----------------
+    t0 = time.time()
+    cls_a_model, dstate_a, stats_a = train_dynamics(tra, vab, seed=0)
+    print(f"model A (engine): {stats_a} ({time.time()-t0:.0f}s)", flush=True)
+    cls_b_model, dstate_b, stats_b = train_dynamics(trb, vab, seed=0)
+    print("model B (mujoco):", stats_b, flush=True)
+    summary["val_on_mujoco_labels"] = {"engine_trained": stats_a,
+                                       "mujoco_trained": stats_b}
+
+    # ---- (b) guided design, verified in the MuJoCo oracle -----------------
+    train_g, _ = procedural_grippers(20000, fingers_3d=True)
+    unet = ConditionalUnet1D()
+    gtr = GeneratorTrainer(unet, total_steps=DIFF_STEPS)
+    gstate = gtr.init(jax.random.PRNGKey(0), jnp.asarray(train_g[:256]))
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(11)
+    for _ in range(DIFF_STEPS):
+        idx = rng.randint(0, len(train_g), 256)
+        key, k = jax.random.split(key)
+        gstate, _gm = gtr.train_step(gstate, jnp.asarray(train_g[idx]), k)
+    noise = jax.random.normal(jax.random.PRNGKey(7), (N_SAMPLES, 42, 1))
+    unguided = gtr.sample(gstate, noise)
+
+    verts, faces = objects[0]
+    pts_n = np.array(clouds[0], dtype=np.float64)
+    e = NORM.object_extent_3d_xy
+    pts_n[:, 0] = (pts_n[:, 0] + e) / (2 * e) * 2 - 1
+    pts_n[:, 1] = (pts_n[:, 1] + e) / (2 * e) * 2 - 1
+    pts_n[:, 2] = ((pts_n[:, 2] - NORM.object_z_min_3d)
+                   / (NORM.object_z_max_3d - NORM.object_z_min_3d) * 2 - 1)
+    obj_flat = jnp.asarray(pts_n.astype(np.float32))
+    th_eval = np.asarray(
+        np.linspace(-1.0, 1.0, EVAL_ROT) * np.pi + np.pi, np.float32)
+
+    design = {}
+    for objective in OBJECTIVES:
+        scale = jnp.asarray(GUIDANCE.scale(True, objective))
+        row = {"unguided": oracle_eval_3d(unguided, verts, faces, th_eval,
+                                          objective)}
+        for tag, cls_m, dstate in (
+            ("engine_classifier", cls_a_model, dstate_a),
+            ("mujoco_classifier", cls_b_model, dstate_b),
+        ):
+            sampler = GuidedSampler(unet, cls_m, grid_size=SAMPLE_GRID,
+                                    num_pos=GUIDANCE.num_pos)
+            cv = {"params": dstate.params, "batch_stats": dstate.batch_stats}
+            samples = sampler.sample(
+                gstate.ema_params, cv, noise, obj_flat, objective, scale)
+            row[tag] = oracle_eval_3d(samples, verts, faces, th_eval,
+                                      objective)
+        design[objective] = row
+        print(objective, row, flush=True)
+    summary["design_verified_in_mujoco"] = design
+
+    with open(os.path.join(OUT, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
