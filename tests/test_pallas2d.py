@@ -44,3 +44,41 @@ def test_pallas_matches_engine():
     # to f32 tolerance
     assert np.abs(dth_r - dth_p).max() < 5e-3
     assert np.abs(np.asarray(ref[1]) - np.asarray(out[1])).max() < 5e-3
+
+
+@pytest.mark.slow
+def test_pallas_matches_engine_regrasp():
+    """Re-grasp parity: the eval schedule resets jaws/velocities mid-rollout,
+    which must invalidate the kernel's settled-travel cache (a stale cache
+    would skip the re-approach physics entirely)."""
+    import jax.experimental.pallas as pl
+    from unittest import mock
+
+    contour = extract_contours(make_icon(5))
+    scene = engine2d.make_scene(*sample_gripper_2d(7), contour)
+    stacked = jax.tree.map(lambda x: x[None], scene)
+    n = pallas2d.LANE
+    ths = np.linspace(0, 2 * np.pi, n, endpoint=False).astype(np.float32)
+    poses = np.stack([np.zeros(n), np.zeros(n), ths], -1).astype(np.float32)
+
+    ref = engine2d.profile(scene, jnp.asarray(poses), steps=80,
+                           regrasp_every=40)
+    arrs = pallas2d.scene_arrays(stacked)
+
+    orig = pl.pallas_call
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    with mock.patch.object(pl, "pallas_call", interp), mock.patch.object(
+        pallas2d.pl, "pallas_call", interp
+    ):
+        out = pallas2d.profile_batch_pallas(
+            *arrs, jnp.asarray(poses), steps=80, regrasp_every=40)
+
+    dth_r, dth_p = np.asarray(ref[0]), np.asarray(out[0])[0]
+    dp_r, dp_p = np.asarray(ref[1]), np.asarray(out[1])[0]
+    assert np.isfinite(dth_p).all()
+    assert np.abs(dth_r - dth_p).max() < 5e-3, np.abs(dth_r - dth_p).max()
+    assert np.abs(dp_r - dp_p).max() < 5e-3

@@ -59,3 +59,45 @@ def test_pallas3d_matches_engine():
         assert corr > 0.98, corr
     # validity flags agree
     np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(out[3]))
+
+
+@pytest.mark.slow
+def test_pallas3d_matches_engine_regrasp():
+    """3D re-grasp parity: regrasp resets must invalidate the kernel's
+    settled-travel broad-phase cache (wy-span), forcing a full re-solve."""
+    import jax.experimental.pallas as pl
+    from unittest import mock
+
+    verts, faces = box_mesh()
+    scene = engine3d.make_scene(*sample_gripper_3d(11), verts, faces,
+                                num_points=128)
+    stacked = jax.tree.map(lambda x: x[None], scene)
+    n = pallas3d.LANE
+    ths = np.linspace(0, 2 * np.pi, n, endpoint=False).astype(np.float32)
+    poses = np.stack([np.zeros(n), np.zeros(n), ths], -1).astype(np.float32)
+
+    steps = 240
+    ref = engine3d.profile(scene, jnp.asarray(poses), steps=steps,
+                           regrasp_every=120)
+    arrs = pallas3d.scene_arrays_3d(stacked)
+
+    orig = pl.pallas_call
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    with mock.patch.object(pl, "pallas_call", interp), mock.patch.object(
+        pallas3d.pl, "pallas_call", interp
+    ):
+        out = pallas3d.profile_batch_pallas3d(
+            *arrs, jnp.asarray(poses), steps=steps, regrasp_every=120)
+
+    dth_r, dth_p = np.asarray(ref[0]), np.asarray(out[0])[0]
+    dp_r, dp_p = np.asarray(ref[1]), np.asarray(out[1])[0]
+    assert np.isfinite(dth_p).all()
+    # kernel surface is a polynomial fit: contacting poses diverge at the
+    # contact-chaos level, same tolerances as the squeeze parity test
+    assert np.abs(dth_r - dth_p).max() < 2e-2, np.abs(dth_r - dth_p).max()
+    assert np.median(np.abs(dp_r - dp_p)) < 1e-3
+    assert np.abs(dp_r - dp_p).max() < 2e-2
