@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dgdm_tpu.core.flags import build_parser
-from dgdm_tpu.core.profiling import StepTimer
+from dgdm_tpu.core.profiling import StepTimer, TraceWindow
 from dgdm_tpu.models.unet1d import ConditionalUnet1D
 from dgdm_tpu.parallel import mesh as meshlib
 from dgdm_tpu.train import checkpoints
@@ -73,11 +73,13 @@ def main(argv=None):
     step = 0
     best: list = []  # (val_loss, path) top-k checkpoints
     timer = StepTimer()
+    tracer = TraceWindow(args.profile_dir)
     for epoch in range(args.num_epochs):
         order = rng.permutation(len(train))
         for lo in range(0, len(order) - args.batch_size + 1, args.batch_size):
             batch = jnp.asarray(train[order[lo : lo + args.batch_size]])
             key, k = jax.random.split(key)
+            tracer.step(step)
             state, metrics = trainer.train_step(state, shard(batch), k)
             step += 1
             timer.tick(args.batch_size)
@@ -109,6 +111,7 @@ def main(argv=None):
             checkpoints.save(
                 os.path.join(args.save_dir, "ckpt", f"step_{step}"), state
             )
+    tracer.close()
     checkpoints.save(os.path.join(args.save_dir, "ckpt", "last"), state)
     sink.close()
 

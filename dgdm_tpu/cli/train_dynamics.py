@@ -17,7 +17,7 @@ import jax
 import numpy as np
 
 from dgdm_tpu.core.flags import build_parser
-from dgdm_tpu.core.profiling import StepTimer
+from dgdm_tpu.core.profiling import StepTimer, TraceWindow
 from dgdm_tpu.models.profile2d import ProfileForward2D
 from dgdm_tpu.parallel import mesh as meshlib
 from dgdm_tpu.train import checkpoints
@@ -102,10 +102,12 @@ def main(argv=None):
     last_best = 0
     step = 0
     timer = StepTimer()
+    tracer = TraceWindow(args.profile_dir)
     for epoch in range(args.num_epochs):
         for batch in train_data.batches(args.batch_size, rng):
             key, k = jax.random.split(key)
             rows = next(iter(jax.tree.leaves(batch))).shape[0]
+            tracer.step(step)
             state, metrics = trainer.train_step(state, _shard(mesh, batch), k)
             step += 1
             timer.tick(rows)
@@ -127,6 +129,7 @@ def main(argv=None):
             elif epoch - last_best >= args.patience:
                 print("early stopping")
                 break
+    tracer.close()
     checkpoints.save(os.path.join(args.save_dir, "ckpt", "last"), state)
     sink.close()
 

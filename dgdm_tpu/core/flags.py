@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="2D dynamics: double the dataset with the exact "
                         "y-axis mirror symmetry (enforces cw/ccw balance "
                         "in the classifier; train.data.mirror_rows_2d)")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture a jax.profiler trace of steady-state train "
+                        "steps 3-8 into this directory (view with xprof / "
+                        "tensorboard); empty disables")
     return p
 
 

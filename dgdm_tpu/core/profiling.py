@@ -60,6 +60,37 @@ class StepTimer:
         return float(getattr(self, "_rate", 0.0) or 0.0)
 
 
+class TraceWindow:
+    """Capture a ``jax.profiler`` trace for steps [start, stop) of a training
+    loop — a bounded window after warmup so the trace holds steady-state
+    steps, not compiles. Inert when ``log_dir`` is falsy."""
+
+    def __init__(self, log_dir: Optional[str], start: int = 3, stop: int = 8):
+        self.log_dir = log_dir
+        self.start, self.stop = start, stop
+        self._active = False
+
+    def step(self, i: int) -> None:
+        """Call once per loop step with the global step index."""
+        if not self.log_dir:
+            return
+        import jax
+
+        if not self._active and self.start <= i < self.stop:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif self._active and i >= self.stop:
+            jax.profiler.stop_trace()
+            self._active = False
+
+    def close(self) -> None:
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """jax.profiler trace context (view with xprof / tensorboard)."""
