@@ -6,6 +6,7 @@ Metrics (BASELINE.md:31 — "rollouts/sec (2D/3D); guided denoising steps/sec"):
 - guided_denoise_steps_per_sec — one fused guided DDIM step: UNet eps +
   B=16 x 9,000-pose classifier gradient + update (the flagship loop)
 - eval_rollouts_per_sec        — 8,000-step re-grasp verification rollouts
+- eval3d_rollouts_per_sec      — 32,000-step 3D re-grasp verification
 - 2d_squeeze_rollouts_per_sec  — 200-step 2D squeezes (headline)
 
 Each ``vs_baseline`` divides by the strongest reference-equivalent measurable
@@ -42,61 +43,70 @@ def _test_contour():
 
 
 def _baselines() -> dict:
+    b = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             b = json.load(f)
-        if "mj_3d_rollouts_per_sec" in b:
+        if "mj_3d_rollouts_per_sec" in b and "mj_eval3d_rollouts_per_sec" in b:
             return b
-    b = {}
     try:
-        from dgdm_tpu.geom.fingers import sample_gripper_2d
-        from dgdm_tpu.sim.oracle import Oracle2D
+        if "mujoco_single_core_rollouts_per_sec" not in b:
+            from dgdm_tpu.geom.fingers import sample_gripper_2d
+            from dgdm_tpu.sim.oracle import Oracle2D
 
-        yl, yr = sample_gripper_2d(0)
-        oracle = Oracle2D(yl, yr, _test_contour())
-        oracle.rollout(0.0, 0.0, 0.0)  # warm
-        n = 8
-        t0 = time.time()
-        for k in range(n):
-            oracle.rollout(0.0, 0.0, 2 * np.pi * k / n)
-        b["mujoco_single_core_rollouts_per_sec"] = n / (time.time() - t0)
-        # eval rollout = 8,000 steps (dynamics/sim_test_mj.py:142,161)
-        t0 = time.time()
-        oracle.rollout(0.0, 0.0, 1.0, steps=8000)
-        b["mj_eval_rollouts_per_sec"] = 1.0 / (time.time() - t0)
+            yl, yr = sample_gripper_2d(0)
+            oracle = Oracle2D(yl, yr, _test_contour())
+            oracle.rollout(0.0, 0.0, 0.0)  # warm
+            n = 8
+            t0 = time.time()
+            for k in range(n):
+                oracle.rollout(0.0, 0.0, 2 * np.pi * k / n)
+            b["mujoco_single_core_rollouts_per_sec"] = n / (time.time() - t0)
+            # eval rollout = 8,000 steps (dynamics/sim_test_mj.py:142,161)
+            t0 = time.time()
+            oracle.rollout(0.0, 0.0, 1.0, steps=8000)
+            b["mj_eval_rollouts_per_sec"] = 1.0 / (time.time() - t0)
     except Exception:
         b.setdefault("mujoco_single_core_rollouts_per_sec", 25.0)
         b.setdefault("mj_eval_rollouts_per_sec", 0.6)
     try:
-        from dgdm_tpu.geom.fingers import sample_gripper_3d
-        from dgdm_tpu.sim.oracle3d import Oracle3D
+        if ("mj_3d_rollouts_per_sec" not in b
+                or "mj_eval3d_rollouts_per_sec" not in b):
+            from dgdm_tpu.geom.fingers import sample_gripper_3d
+            from dgdm_tpu.sim.oracle3d import Oracle3D
 
-        # representative 3D scene cost: the reference's objects carry ~32
-        # V-HACD hulls (sim/sim_3d.py, -h 32) and fingers similar; a 1-hull
-        # box would overstate MuJoCo's speed, so use 24 finger slabs and an
-        # octagonal prism object
-        sys_path = os.path.dirname(__file__)
-        import importlib.util as _ilu
+            # representative 3D scene cost: the reference's objects carry ~32
+            # V-HACD hulls (sim/sim_3d.py, -h 32) and fingers similar; a 1-hull
+            # box would overstate MuJoCo's speed, so use 24 finger slabs and an
+            # octagonal prism object
+            sys_path = os.path.dirname(__file__)
+            import importlib.util as _ilu
 
-        spec = _ilu.spec_from_file_location(
-            "suite3d", os.path.join(sys_path, "scripts",
-                                    "build_oracle_suite3d.py"))
-        suite3d = _ilu.module_from_spec(spec)
-        spec.loader.exec_module(suite3d)
-        verts, faces = suite3d.prism_mesh(8, 0.05, 0.08)
-        yl, yr = sample_gripper_3d(0)
-        o3 = Oracle3D(yl, yr, verts, faces, num_slabs=24)
-        o3.rollout(0.0, 0.0, 0.0, steps=100)  # warm
-        t0 = time.time()
-        o3.rollout(0.0, 0.0, 1.0, steps=800)
-        o3.rollout(0.0, 0.0, 3.0, steps=800)
-        b["mj_3d_rollouts_per_sec"] = 2.0 / (time.time() - t0)
+            spec = _ilu.spec_from_file_location(
+                "suite3d", os.path.join(sys_path, "scripts",
+                                        "build_oracle_suite3d.py"))
+            suite3d = _ilu.module_from_spec(spec)
+            spec.loader.exec_module(suite3d)
+            verts, faces = suite3d.prism_mesh(8, 0.05, 0.08)
+            yl, yr = sample_gripper_3d(0)
+            o3 = Oracle3D(yl, yr, verts, faces, num_slabs=24)
+            o3.rollout(0.0, 0.0, 0.0, steps=100)  # warm
+            t0 = time.time()
+            o3.rollout(0.0, 0.0, 1.0, steps=800)
+            o3.rollout(0.0, 0.0, 3.0, steps=800)
+            b["mj_3d_rollouts_per_sec"] = 2.0 / (time.time() - t0)
+            # 3D eval rollout = 32,000 steps (dynamics/sim_test_mj_3d.py:135,154)
+            t0 = time.time()
+            o3.rollout(0.0, 0.0, 2.0, steps=32000)
+            b["mj_eval3d_rollouts_per_sec"] = 1.0 / (time.time() - t0)
     except Exception:
-        b["mj_3d_rollouts_per_sec"] = 4.0
+        b.setdefault("mj_3d_rollouts_per_sec", 4.0)
+        b.setdefault("mj_eval3d_rollouts_per_sec", 0.1)
     try:
-        b["torch_guided_steps_per_sec"] = _torch_guided_baseline()
+        if "torch_guided_steps_per_sec" not in b:
+            b["torch_guided_steps_per_sec"] = _torch_guided_baseline()
     except Exception:
-        b["torch_guided_steps_per_sec"] = 0.05
+        b.setdefault("torch_guided_steps_per_sec", 0.05)
     with open(BASELINE_CACHE, "w") as f:
         json.dump(b, f)
     return b
@@ -279,6 +289,44 @@ def measure_eval(batch: int = 16, num_rot: int = 384) -> float:
     return float(np.median(rates))
 
 
+def measure_eval3d(batch: int = 8, num_rot: int = 128) -> float:
+    """32,000-step 3D re-grasp verification rollouts/sec
+    (dynamics/sim_test_mj_3d.py:135,154 schedule)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgdm_tpu.core.config import SIM
+    from dgdm_tpu.geom.fingers import sample_gripper_3d
+    from dgdm_tpu.geom.mesh3d import box_mesh
+    from dgdm_tpu.sim import engine3d, pallas3d
+
+    verts, faces = box_mesh()
+    scenes = [
+        engine3d.make_scene(*sample_gripper_3d(i), verts, faces)
+        for i in range(batch)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+    thetas = np.linspace(0, 2 * np.pi, num_rot, endpoint=False).astype(np.float32)
+    poses = np.stack([np.zeros_like(thetas), np.zeros_like(thetas), thetas], -1)
+    arrs = pallas3d.scene_arrays_3d(stacked)
+
+    def run():
+        o = pallas3d.profile_batch_pallas3d(
+            *arrs, jnp.asarray(poses),
+            steps=SIM.eval_steps_3d, regrasp_every=SIM.eval_regrasp_3d,
+            snapshot_step=SIM.eval_regrasp_3d,
+        )
+        jax.block_until_ready(o)
+
+    run()
+    rates = []
+    for _ in range(3):
+        t0 = time.time()
+        run()
+        rates.append(batch * num_rot / (time.time() - t0))
+    return float(np.median(rates))
+
+
 def _emit(metric, value, unit, vs):
     print(json.dumps({
         "metric": metric, "value": round(value, 2), "unit": unit,
@@ -311,6 +359,14 @@ def main():
               re_ / (b["mj_eval_rollouts_per_sec"] * RAY_CONCURRENCY_2D))
     except Exception as e:
         print(json.dumps({"metric": "eval_rollouts_per_sec",
+                          "error": str(e)[:200]}), flush=True)
+    try:
+        re3 = measure_eval3d()
+        _emit("eval3d_rollouts_per_sec", re3,
+              "rollouts/s (32,000-step 3D re-grasp verification)",
+              re3 / (b["mj_eval3d_rollouts_per_sec"] * RAY_CONCURRENCY_3D))
+    except Exception as e:
+        print(json.dumps({"metric": "eval3d_rollouts_per_sec",
                           "error": str(e)[:200]}), flush=True)
     try:
         # secondary: the round-1 Jacobi kernel (faster, magnitude-biased
