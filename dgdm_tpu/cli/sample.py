@@ -25,7 +25,7 @@ import numpy as np
 from dgdm_tpu.core.config import GUIDANCE, GUIDED_OBJECTIVES, NORM, SIM
 from dgdm_tpu.core.flags import build_parser
 from dgdm_tpu.design.guidance import GuidedSampler
-from dgdm_tpu.eval.metrics import best_ids_all_metrics
+from dgdm_tpu.eval.metrics import average_objectives, best_ids_all_metrics
 from dgdm_tpu.eval.simeval import objectives_table, sim_eval_batch_2d
 from dgdm_tpu.geom.contour import extract_contours
 from dgdm_tpu.models.profile2d import ProfileForward2D
@@ -179,8 +179,7 @@ def main(argv=None):
             num_rot=args.grid_size, **eval_kw,
         )
 
-    def table_entry(metrics, objective):
-        objs = objectives_table(metrics, objective)
+    def objs_entry(objs, objective):
         best = best_ids_all_metrics(objs, objective)
         succ = [o.get("success_rate", 0.0) for o in objs]
         return {
@@ -188,6 +187,9 @@ def main(argv=None):
             "best_objectives": {k: objs[v] for k, v in best.items()},
             "mean_success": float(np.mean(succ)) if succ else 0.0,
         }
+
+    def table_entry(metrics, objective):
+        return objs_entry(objectives_table(metrics, objective), objective)
 
     # fixed-seed noise like the reference validation (diffusion.py:182-183)
     rs = np.random.RandomState(args.seed)
@@ -283,10 +285,18 @@ def main(argv=None):
             msamples = sampler.sample_multi_object(
                 ema_params, cls_vars, noise, obj_flats, objective, scale
             )
+            mo_objs = [
+                objectives_table(sim_eval(msamples, oi), objective)
+                for oi in range(len(ids))
+            ]
             entry["multi_object"] = {
-                str(oid): table_entry(sim_eval(msamples, oi), objective)
+                str(oid): objs_entry(mo_objs[oi], objective)
                 for oi, oid in enumerate(ids)
             }
+            # reference picks the best multi-object grippers from the
+            # OBJECT-AVERAGED objective table (diffusion.py:686-694)
+            avg = average_objectives(mo_objs)
+            entry["multi_object_average"] = objs_entry(avg, objective)
             np.save(
                 os.path.join(args.save_dir, f"samples_{objective}_multi.npy"),
                 np.asarray(msamples),

@@ -202,3 +202,23 @@ def best_ids_all_metrics(
         vals = [o[k] for o in objectives]
         out[k] = int(np.argmin(vals) if k in minimize else np.argmax(vals))
     return out
+
+
+def average_objectives(per_object: List[List[Dict]]) -> List[Dict]:
+    """Per-gripper objective dicts averaged over objects.
+
+    The reference's multi-object guided path evaluates every gripper on
+    every test object, means each objective metric over objects, and only
+    then picks best grippers (generator/diffusion.py:686-689:
+    ``average_objectives = {k: np.mean([obj[k] for obj in objectives])}``).
+    ``per_object`` is indexed [object][gripper] -> metric dict; the return
+    is indexed [gripper] and feeds ``best_ids_all_metrics``.
+    """
+    n_grippers = len(per_object[0])
+    out = []
+    for gi in range(n_grippers):
+        keys = per_object[0][gi].keys()
+        out.append({
+            k: float(np.mean([po[gi][k] for po in per_object])) for k in keys
+        })
+    return out

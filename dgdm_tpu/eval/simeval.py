@@ -95,12 +95,20 @@ def sim_eval_batch_2d(
     ).astype(np.float32)
 
     use_pallas = jax.default_backend() == "tpu"
+    from dgdm_tpu.parallel import mesh as meshlib
+
     results = []
     for contour in contours:
         scenes = [
             engine2d.make_scene(y[i, :n], y[i, n:], contour) for i in range(b)
         ]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+        # grippers dp-shard over the device mesh (the Ray eval fan-out
+        # analog, dynamics/sim_test_mj.py:265-282 — same pattern as the
+        # 3D eval and 2D datagen paths)
+        mesh = meshlib.data_parallel_mesh()
+        if mesh is not None and b % mesh.shape["dp"] != 0:
+            mesh = None
         if use_pallas:
             from dgdm_tpu.sim import pallas2d
 
@@ -112,16 +120,28 @@ def sim_eval_batch_2d(
                 [np.zeros_like(th_p), np.zeros_like(th_p), th_p], -1
             )
             arrs = pallas2d.scene_arrays(stacked, calib=calib)
-            dth_, dpos_, fth_, fpos_ = pallas2d.profile_batch_pallas(
-                *arrs, jnp.asarray(poses),
+            kernel = lambda *a: pallas2d.profile_batch_pallas(
+                *a, jnp.asarray(poses),
                 steps=total_steps, regrasp_every=regrasp_every,
                 snapshot_step=regrasp_every,
             )
+            if mesh is not None:
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                kernel = shard_map(
+                    kernel, mesh=mesh,
+                    in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+                    out_specs=P("dp"), check_rep=False,
+                )
+            dth_, dpos_, fth_, fpos_ = kernel(*arrs)
             d_theta = np.asarray(dth_)[:, :nr]
             d_pos = np.asarray(dpos_)[:, :nr]
             f_theta = np.asarray(fth_)[:, :nr]
             f_pos = np.asarray(fpos_)[:, :nr]
         else:
+            if mesh is not None:
+                stacked = meshlib.shard_batch(mesh, stacked, "dp")
             d_theta, d_pos, f_theta, f_pos = jax.tree.map(
                 np.asarray,
                 eval_rollout_batch(

@@ -9,6 +9,7 @@ from dgdm_tpu.design.objectives import (
     deltas_to_objective,
 )
 from dgdm_tpu.eval.metrics import (
+    average_objectives,
     best_ids_all_metrics,
     convergence_mode_three_class,
     convergence_range_from_finals,
@@ -132,3 +133,22 @@ def test_best_ids():
     ids = best_ids_all_metrics(objs, "rotate_clockwise")
     assert ids["num_clockwise_classes"] == 1
     assert ids["delta_theta"] == 2  # minimized for clockwise
+
+
+def test_average_objectives_multi_object():
+    """Object-averaged objective table (generator/diffusion.py:686-689):
+    per gripper, each metric is the mean over test objects; best ids are
+    then picked from the averaged table."""
+    per_object = [
+        [metric2objective(_metric(), "rotate_clockwise") for _ in range(3)]
+        for _ in range(2)
+    ]
+    per_object[0][1]["success_rate"] = 1.0
+    per_object[1][1]["success_rate"] = 0.5
+    avg = average_objectives(per_object)
+    assert len(avg) == 3
+    assert avg[1]["success_rate"] == 0.75
+    for k, v in avg[0].items():
+        assert v == (per_object[0][0][k] + per_object[1][0][k]) / 2
+    ids = best_ids_all_metrics(avg, "rotate_clockwise")
+    assert ids["success_rate"] == 1

@@ -218,6 +218,31 @@ def test_profile_pairs_3d_shards_dp():
     np.testing.assert_allclose(np.asarray(ref[3]), valid, atol=0)
 
 
+def test_sim_eval_batch_2d_shards_dp(monkeypatch):
+    """2D sim-eval grippers dp-shard; results match the single-device path
+    (the Ray eval fan-out analog, dynamics/sim_test_mj.py:265-282)."""
+    from dgdm_tpu.eval import simeval
+    from dgdm_tpu.parallel import mesh as pm
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-0.5, 0.5, (8, 28)).astype(np.float32)
+    ang = np.linspace(0, 2 * np.pi, 100, endpoint=False)
+    rad = 0.035 * (1 + 0.2 * np.sin(3 * ang))
+    contour = np.stack([rad * np.cos(ang), rad * np.sin(ang)], -1)
+
+    sharded = simeval.sim_eval_batch_2d(
+        pts, [contour], num_rot=4, total_steps=40, regrasp_every=20)
+
+    monkeypatch.setattr(pm, "data_parallel_mesh", lambda *a, **k: None)
+    single = simeval.sim_eval_batch_2d(
+        pts, [contour], num_rot=4, total_steps=40, regrasp_every=20)
+
+    assert len(sharded) == len(single) == 8
+    for s, r in zip(sharded, single):
+        for k in s:
+            np.testing.assert_allclose(s[k], r[k], atol=1e-4, err_msg=k)
+
+
 def test_sim_eval_batch_3d_shards_dp(monkeypatch):
     """3D sim-eval grippers dp-shard; results match the single-device path."""
     from dgdm_tpu.eval import simeval3d

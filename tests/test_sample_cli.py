@@ -68,6 +68,9 @@ def test_sample_cli_render_video(tmp_path):
     (entry,) = objs.values()
     assert "best_ids" in entry and "unguided" in entry
     assert "multi_object" in report["rotate"]
+    # object-averaged best-id table (generator/diffusion.py:686-694)
+    avg = report["rotate"]["multi_object_average"]
+    assert "best_ids" in avg and "mean_success" in avg
 
     stem = os.path.join(save_dir, "rotate_10000")
     for suffix in ("_gripper.png", "_profile.png", "_final.png",
