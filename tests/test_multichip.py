@@ -225,7 +225,7 @@ def test_sim_eval_batch_2d_shards_dp(monkeypatch):
     from dgdm_tpu.parallel import mesh as pm
 
     rng = np.random.RandomState(0)
-    pts = rng.uniform(-0.5, 0.5, (8, 28)).astype(np.float32)
+    pts = rng.uniform(-0.5, 0.5, (8, 14)).astype(np.float32)
     ang = np.linspace(0, 2 * np.pi, 100, endpoint=False)
     rad = 0.035 * (1 + 0.2 * np.sin(3 * ang))
     contour = np.stack([rad * np.cos(ang), rad * np.sin(ang)], -1)
