@@ -1,17 +1,22 @@
-"""Design-by-gradient demo: optimize finger control points by backprop
-THROUGH the contact simulation, then verify the designs in MuJoCo.
+"""Design-in-the-simulator demo: optimize finger control points against the
+TPU engine's simulated task objective, then verify the designs in MuJoCo.
 
 This exercises a capability the reference pipeline cannot offer (its physics
-is MuJoCo's C engine — non-differentiable — which is why its design loop
-needs a learned dynamics surrogate + classifier guidance,
-``generator/diffusion.py:430-539``): here the task objective's gradient flows
-through contact detection, the coupled Newton contact solve, and the 200-step
-squeeze, directly updating the 2x7 spline control points.
+is MuJoCo's C engine on CPU workers — one rollout per core — which is why its
+design loop needs a learned dynamics surrogate + classifier guidance,
+``generator/diffusion.py:430-539``): here every optimizer iteration evaluates
+a batch of perturbed candidate grippers x orientations as one fused rollout
+dispatch, ascending the pose-jitter-smoothed simulated objective directly
+(design/graddesign.py ``method="smoothed"``; the backprop estimator is
+measured anti-informative on these chaotic rollouts — see the module
+docstring and scripts/diag_graddesign_estimators.py).
 
-Protocol (per objective x start seed):
+Protocol (per objective x start seed) — defaults below ARE the protocol:
   1. start from a procedural gripper (the generator's training distribution)
-  2. ascend the mean simulated objective over a 36-orientation grid
-     (design/graddesign.py, Adam + projection into the ctrl-y range)
+  2. ascend the smoothed mean objective over a 36-orientation grid
+     (Adam lr 1e-3 + projection into the ctrl-y range); the returned design
+     is the PAIRED held-out argmax over iterates, start included — it can
+     never score below the start on the engine metric
   3. evaluate start vs designed gripper on a DENSER held-out grid (96
      orientations), in BOTH the engine and the MuJoCo oracle (48
      orientations) — the oracle never participates in the optimization.
@@ -86,7 +91,9 @@ def main():
     ap.add_argument("--eval_rot", type=int, default=96)
     ap.add_argument("--oracle_rot", type=int, default=48)
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1])
-    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--method", default="smoothed",
+                    choices=["smoothed", "backprop"])
     args = ap.parse_args()
     os.makedirs(OUT, exist_ok=True)
 
@@ -105,6 +112,7 @@ def main():
             out = design_gradient_2d(
                 yl0, yr0, contour, objective=obj_key,
                 num_rot=args.num_rot, iters=args.iters, lr=args.lr,
+                method=args.method, seed=seed,
             )
             opt_s = time.time() - t0
             yl1, yr1 = out["y"][0].astype(np.float64), out["y"][1].astype(
@@ -122,6 +130,7 @@ def main():
                 "objective": obj_key, "seed": seed,
                 "optimize_seconds": round(opt_s, 1),
                 "objective_history": [round(h, 4) for h in out["history"]],
+                "holdout": [round(h, 4) for h in out["holdout"]],
                 "best_iter": out["best_iter"],
                 "engine_start": ed0, "engine_designed": ed1,
                 "mujoco_start": od0, "mujoco_designed": od1,

@@ -30,7 +30,9 @@ from dgdm_tpu.geom.mesh3d import box_mesh
 from dgdm_tpu.sim import engine3d, pallas3d
 
 
-def measure(num_pairs: int, num_poses: int, repeats: int = 2) -> float:
+def measure(num_pairs: int, num_poses: int, repeats: int = 3) -> float:
+    # odd repeat count: np.median of 2 is a mean and loses the tunnel-spike
+    # robustness per-dispatch median timing exists for (bench.py uses 3)
     verts, faces = box_mesh()
     scenes = [
         engine3d.make_scene(*sample_gripper_3d(i), verts, faces)

@@ -72,15 +72,25 @@ def test_design_gradient_is_finite_and_nonzero():
 
 @pytest.mark.slow
 def test_design_gradient_improves_objective():
-    """A short ascent run improves the simulated task objective."""
+    """A short smoothed-ascent run improves the held-out simulated objective.
+
+    Selection is paired (fixed held-out jitter draws, start = candidate 0),
+    so the assertion is that some iterate strictly beats the start on the
+    held-out engine metric — the claim the round-3 artifact failed under
+    MuJoCo verification.
+    """
     yl, yr = sample_gripper_2d(0)
     out = graddesign.design_gradient_2d(
         yl, yr, _contour(), objective="rotate_clockwise",
-        num_rot=8, steps=200, iters=8, lr=2e-3,
+        num_rot=8, steps=200, iters=8, lr=1e-3,
     )
     hist = out["history"]
     assert len(hist) == 8 and all(np.isfinite(hist))
-    assert max(hist[1:]) > hist[0], hist
+    hold = out["holdout"]
+    assert len(hold) == 9 and all(np.isfinite(hold))
+    assert max(hold[1:]) > hold[0], hold
+    # the returned design is the held-out argmax (can never lose to start)
+    assert np.allclose(hold[out["best_iter"] + 1], max(hold))
     # projection kept the design inside the generator's control range
     g = graddesign.GRIPPER_2D
     assert out["y"].min() >= g.ctrl_y_min - 1e-6
