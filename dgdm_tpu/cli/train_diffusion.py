@@ -55,16 +55,16 @@ def main(argv=None):
     mesh = meshlib.data_parallel_mesh()
     if mesh is not None:
         state = meshlib.replicate(mesh, state)
-        print(f"data-parallel over {mesh.shape['dp']} devices")
+        if jax.process_index() == 0:
+            print(f"data-parallel over {mesh.shape['dp']} devices"
+                  f" ({jax.process_count()} processes)")
 
     def shard(batch):
+        # multi-host: every process builds the same global batch (same seed)
+        # and shard_global_batch keeps its block — DDP-sampler analog
         if mesh is None:
             return batch
-        dp = mesh.shape["dp"]
-        n = batch.shape[0]
-        if n % dp:
-            batch = batch[: n - n % dp]
-        return meshlib.shard_batch(mesh, batch, "dp")
+        return meshlib.shard_global_batch(mesh, batch, "dp")
 
     sink = MetricSink(args.save_dir, project="gripper_diffusion",
                       run_name=args.wandb_id)

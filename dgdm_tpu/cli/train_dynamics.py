@@ -27,14 +27,14 @@ from dgdm_tpu.train.logging import MetricSink
 
 
 def _shard(mesh, batch):
-    """Trim the row dim to a dp multiple and shard (replicated if no mesh)."""
+    """Trim the row dim to a dp multiple and shard (replicated if no mesh).
+
+    Multi-host: ``shard_global_batch`` keeps only this process's block of the
+    seed-identical global batch (DDP-sampler analog) and builds global arrays.
+    """
     if mesh is None:
         return batch
-    dp = mesh.shape["dp"]
-    n = next(iter(jax.tree.leaves(batch))).shape[0]
-    if n % dp:
-        batch = jax.tree.map(lambda x: x[: n - n % dp], batch)
-    return meshlib.shard_batch(mesh, batch, "dp")
+    return meshlib.shard_global_batch(mesh, batch, "dp")
 
 
 def main(argv=None):
@@ -77,7 +77,9 @@ def main(argv=None):
     mesh = meshlib.data_parallel_mesh()
     if mesh is not None:
         state = meshlib.replicate(mesh, state)
-        print(f"data-parallel over {mesh.shape['dp']} devices")
+        if jax.process_index() == 0:
+            print(f"data-parallel over {mesh.shape['dp']} devices"
+                  f" ({jax.process_count()} processes)")
 
     sink = MetricSink(args.save_dir, project="dynamics_model",
                       run_name=args.wandb_id)

@@ -43,7 +43,11 @@ def make_mesh(
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "dp"):
-    """Place a pytree of arrays with the leading dim sharded over ``axis``."""
+    """Place a pytree of arrays with the leading dim sharded over ``axis``.
+
+    Single-process only (device_put to a local mesh); multi-host callers use
+    ``shard_global_batch``, which also handles the per-process data split.
+    """
     def put(x):
         spec = P(axis, *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -51,10 +55,50 @@ def shard_batch(mesh: Mesh, batch, axis: str = "dp"):
     return jax.tree.map(put, batch)
 
 
+def shard_global_batch(mesh: Mesh, batch, axis: str = "dp"):
+    """DDP-sampler analog: every process passes the same GLOBAL batch (same
+    seed -> same host-side order, like the reference's Lightning DDP sampler,
+    ``generator/train.py:35,152``); rows are trimmed to a multiple of the
+    ``axis`` size, each process keeps its contiguous block, and the returned
+    arrays are global (jax.Array) with the leading dim sharded over ``axis``.
+
+    Single-process this degrades to trim + ``shard_batch``.
+    """
+    total = mesh.shape[axis]
+    n = next(iter(jax.tree.leaves(batch))).shape[0]
+    if n % total:
+        batch = jax.tree.map(lambda x: x[: n - n % total], batch)
+        n -= n % total
+    pc = jax.process_count()
+    if pc == 1:
+        return shard_batch(mesh, batch, axis)
+    per = n // pc
+    lo = per * jax.process_index()
+
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        local = np.asarray(x[lo : lo + per])
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), local
+        )
+
+    return jax.tree.map(put, batch)
+
+
 def replicate(mesh: Mesh, tree):
-    return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
-    )
+    """Replicate a pytree over the full mesh (multi-host safe)."""
+    if jax.process_count() == 1:
+        return jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+        )
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, NamedSharding(mesh, P()), lambda idx: x[idx]
+        )
+
+    return jax.tree.map(put, tree)
 
 
 def pad_to_multiple(batch, k: int):

@@ -16,6 +16,12 @@ import orbax.checkpoint as ocp
 
 
 def save(path: str, state: Any) -> None:
+    """Multi-host: ``save`` is a COLLECTIVE — every process must call it with
+    the same path (orbax synchronizes across hosts and only the primary host
+    writes replicated data, the coordinated equivalent of Lightning's
+    rank_zero_only checkpoint). Rank-gating the call breaks the barrier —
+    measured: the primary's save times out on Gloo once the other rank exits.
+    """
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)

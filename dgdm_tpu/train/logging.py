@@ -17,6 +17,16 @@ from typing import Dict, Optional
 class MetricSink:
     def __init__(self, save_dir: str, project: str = "dgdm_tpu",
                  run_name: Optional[str] = None, use_wandb: bool = True):
+        # rank-gated: only process 0 writes (the reference gets this from
+        # Lightning's rank_zero_only; on multi-host every process would
+        # otherwise open its own wandb run / JSONL stream)
+        import jax
+
+        if jax.process_index() != 0:
+            self.path = None
+            self._f = None
+            self._wandb = None
+            return
         os.makedirs(save_dir, exist_ok=True)
         self.path = os.path.join(save_dir, "metrics.jsonl")
         self._f = open(self.path, "a")
@@ -33,6 +43,8 @@ class MetricSink:
                 self._wandb = None
 
     def log(self, metrics: Dict, step: Optional[int] = None) -> None:
+        if self._f is None:
+            return
         rec = {"ts": time.time(), "step": step}
         rec.update({k: _to_py(v) for k, v in metrics.items()})
         self._f.write(json.dumps(rec) + "\n")
@@ -41,6 +53,8 @@ class MetricSink:
             self._wandb.log(metrics, step=step)
 
     def close(self) -> None:
+        if self._f is None:
+            return
         self._f.close()
         if self._wandb is not None:  # pragma: no cover
             self._wandb.finish()
