@@ -196,7 +196,21 @@ def main(argv=None):
     noise = jnp.asarray(
         rs.randn(b, args.ctrlpts_dim, 1).astype(np.float32)
     )
-    unguided = gtr.sample(gstate, noise, args.num_inference_steps)
+    if args.render_video:
+        # per-step denoising snapshots (reference dumps the sample scatter at
+        # every DDIM step during validation, diffusion.py:258-292)
+        from dgdm_tpu.eval import viz
+
+        unguided, traj = gtr.sample_trajectory(
+            gstate, noise, args.num_inference_steps
+        )
+        np.save(os.path.join(args.save_dir, "denoise_steps.npy"),
+                np.asarray(traj))
+        viz.visualize_denoise_steps(
+            np.asarray(traj), os.path.join(args.save_dir, "denoise_steps.png")
+        )
+    else:
+        unguided = gtr.sample(gstate, noise, args.num_inference_steps)
 
     # unguided baseline: sim-evaluate the unguided samples on every test
     # object ONCE (reference diffusion.py:302-305) — reused for the
@@ -232,6 +246,38 @@ def main(argv=None):
                 os.path.join(args.save_dir, f"samples_{objective}_{oid}.npy"),
                 np.asarray(samples),
             )
+            if args.render_video and args.fingers_3d:
+                # 3D imagery for the best-success gripper: initial-scene
+                # render + squeeze rollout video (the reference renders RGB
+                # rollouts + contour overlays per generated gripper,
+                # dynamics/sim_test_mj_3d.py:164-196, sim/render_mesh.py:39-65,
+                # logged in tables generator/diffusion.py:698-709)
+                from dgdm_tpu.eval import viz
+                from dgdm_tpu.geom.fingers import denormalize_y
+                from dgdm_tpu.sim import engine3d
+
+                bi = int(te["best_ids"].get("success_rate", 0))
+                yb = np.asarray(denormalize_y(
+                    np.asarray(samples)[bi, :, 0], fingers_3d=True))
+                stem = os.path.join(args.save_dir, f"{objective}_{oid}")
+                verts, faces = meshes[oi]
+                scene3 = engine3d.make_scene(yb[:21], yb[21:], verts, faces)
+                vid_steps = args.eval_steps or SIM.steps_3d
+                tr = np.asarray(engine3d.rollout_trace3d(
+                    scene3, jnp.array([0.0, 0.0, 0.7], jnp.float32),
+                    steps=vid_steps, every=max(1, vid_steps // 40),
+                ))
+                viz.render_scene_3d(
+                    np.asarray(scene3.points), np.asarray(scene3.com),
+                    yb[:21], yb[21:], tr[0], stem + "_scene.png",
+                )
+                viz.visualize_profile(
+                    metrics[bi]["profile"] - 1, stem + "_profile.png"
+                )
+                viz.rollout_video_3d(
+                    np.asarray(scene3.points), np.asarray(scene3.com),
+                    yb[:21], yb[21:], tr, stem + "_rollout.mp4",
+                )
             if args.render_video and not args.fingers_3d:
                 # imagery for the best-success gripper (reference logs wandb
                 # tables with these images + a rollout video,

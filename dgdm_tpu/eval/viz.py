@@ -63,6 +63,35 @@ def visualize_ctrlpts(ctrlpts: np.ndarray, save_path: str) -> None:
     plt.close(f)
 
 
+def visualize_denoise_steps(traj: np.ndarray, save_path: str) -> None:
+    """One panel per DDIM step: scatter of every sample's normalized control
+    values vs control index — the reference's per-step validation dumps
+    (generator/diffusion.py:258-292). ``traj`` is (S+1, B, N) or (S+1, B,
+    N, 1) from ``GeneratorTrainer.sample_trajectory`` (index 0 = pure noise).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    traj = np.asarray(traj)
+    if traj.ndim == 4:
+        traj = traj[..., 0]
+    s, b, n = traj.shape
+    f, axes = plt.subplots(1, s, figsize=(2.2 * s, 2.6), sharey=True)
+    if s == 1:
+        axes = [axes]
+    x = np.arange(n)
+    for si, ax in enumerate(axes):
+        for bi in range(b):
+            ax.scatter(x, traj[si, bi], s=4, alpha=0.5)
+        ax.set_ylim(-1.6, 1.6)
+        ax.set_title("noise" if si == 0 else f"step {si}", fontsize=8)
+    f.tight_layout()
+    f.savefig(save_path, dpi=90)
+    plt.close(f)
+
+
 def visualize_finals(finals: np.ndarray, save_path: str) -> None:
     import matplotlib
 

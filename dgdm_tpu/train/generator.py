@@ -177,3 +177,32 @@ class GeneratorTrainer:
 
         out, _ = jax.lax.scan(body, noise, (ts, pts))
         return out
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def sample_trajectory(
+        self,
+        state: GenTrainState,
+        noise: jnp.ndarray,
+        num_inference_steps: int = DIFFUSION.num_inference_steps,
+    ):
+        """Unguided DDIM sampling that also returns the per-step samples
+        (S+1, B, N, 1) including the initial noise — the reference dumps the
+        sample scatter at every denoising step during validation
+        (generator/diffusion.py:258-292); here the trajectory is the scan's
+        ys output, captured in the same single jitted loop."""
+        ts = jnp.asarray(
+            ddim.inference_timesteps(self.num_train_timesteps, num_inference_steps)
+        )
+        pts = jnp.asarray(
+            ddim.prev_timesteps(self.num_train_timesteps, num_inference_steps)
+        )
+
+        def body(sample, tp):
+            t, pt = tp
+            tb = jnp.full((sample.shape[0],), t)
+            eps = self.model.apply({"params": state.ema_params}, sample, tb)
+            nxt = ddim.ddim_step(self.sched, eps, t, pt, sample)
+            return nxt, nxt
+
+        out, traj = jax.lax.scan(body, noise, (ts, pts))
+        return out, jnp.concatenate([noise[None], traj], axis=0)
