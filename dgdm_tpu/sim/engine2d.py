@@ -106,12 +106,40 @@ class Calib:
                                # the single-row weight. Finger rows only —
                                # the engine's plane patch already carries
                                # point multiplicity. 1.0 = off.
+    clamp_k: jnp.ndarray = 0.0
+                               # clamp-regime coupled bracing (3D Newton,
+                               # round 4): fast-closing finger rows'
+                               # enforcement weight is amplified by the
+                               # plane-braced admittance ratio a_nn/a_b,
+                               # a_b_i = Jn_i (M + Jp^T Wp Jp)^-1 Jn_i^T —
+                               # the diagonal of the Delassus Schur
+                               # complement over the active plane block
+                               # (the coupled-cone force amplification the
+                               # round-3b measurement attributes to
+                               # MuJoCo's full-A solve). 0.0 = off.
+    clamp_press: jnp.ndarray = 0.0
+                               # clamp-press target override (3D Newton,
+                               # round 4): fast-closing finger rows blend
+                               # their velocity target toward MuJoCo's
+                               # critically-damped solref (0.02, 1) decay
+                               # (vn+ ~= 0.82 vn0 — the measured 0.8x/step
+                               # press of the clamp snap) instead of the
+                               # fitted overdamped Baumgarte target whose
+                               # d*b*dt = 1.44 > 1 restitutive spike pops
+                               # the object off the press. 0.0 = off.
+    clamp_w: jnp.ndarray = 1.0
+                               # clamp-regime scalar weight boost (3D
+                               # Newton, round 4): fast-closing finger
+                               # rows' enforcement weight multiplied by
+                               # clamp_w (gated, unlike the always-on
+                               # w_fmult) so the press is enforced
+                               # near-rigidly at velocity level. 1.0 = off.
 
 
 CALIB_FIELDS = ("mu_plane", "mu_finger", "mu_torsion", "k_contact",
                 "b_contact", "unload", "rough", "c_r", "restitution",
                 "lam_sat", "om_release", "v_gate", "mu_ballistic", "ram",
-                "w_fmult")
+                "w_fmult", "clamp_k", "clamp_press", "clamp_w")
 
 
 # Fitted against the 60-case x 48-theta MuJoCo oracle suite targeting the

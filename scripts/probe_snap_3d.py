@@ -192,6 +192,45 @@ def main():
         configs.append(("U mu_p=1.0 mu_f=1.0 b=100",
                         {"mu_plane": 1.0, "mu_finger": 1.0,
                          "b_contact": 100.0}))
+    if args.gate == "K":
+        # clamp-regime coupled bracing (round 4): fast-closing finger rows'
+        # enforcement amplified by the plane-braced admittance ratio
+        # a_nn/a_b (full Delassus Schur complement over the plane block) —
+        # the geometry-derived, regime-gated version of the W/E scalar
+        # multiplicity probes, targeting MuJoCo's measured ~2.6x coupled
+        # force amplification in the snap.
+        for ck in (0.25, 0.5, 1.0):
+            configs.append((f"K clamp_k={ck}", {"clamp_k": ck}))
+        configs.append(("K ck=1 ram=0.85",
+                        {"clamp_k": 1.0, "ram": 0.85}))
+        configs.append(("K ck=1 ram=1.0",
+                        {"clamp_k": 1.0, "ram": 1.0}))
+        configs.append(("K ck=0.5 ram=0.85",
+                        {"clamp_k": 0.5, "ram": 0.85}))
+        configs.append(("K ck=1 b=350",
+                        {"clamp_k": 1.0, "b_contact": 350.0}))
+        configs.append(("K ck=1 ram=0.85 b=350",
+                        {"clamp_k": 1.0, "ram": 0.85, "b_contact": 350.0}))
+    if args.gate == "K2":
+        # clamp-press velocity-level coupled solve (round 4): gated target
+        # override to MuJoCo's critically-damped solref decay + gated
+        # weight boost (scalar clamp_w or braced clamp_k) — the sustained
+        # 8-step press the round-3b measurement shows, enforced against
+        # the plane-braced effective mass.
+        for cp in (0.5, 1.0):
+            configs.append((f"K2 press={cp}", {"clamp_press": cp}))
+        for cw in (3.0, 8.0, 20.0):
+            configs.append((f"K2 press=1 w={cw}",
+                            {"clamp_press": 1.0, "clamp_w": cw}))
+        configs.append(("K2 press=1 ck=1",
+                        {"clamp_press": 1.0, "clamp_k": 1.0}))
+        configs.append(("K2 press=1 ck=1 w=3",
+                        {"clamp_press": 1.0, "clamp_k": 1.0,
+                         "clamp_w": 3.0}))
+        configs.append(("K2 press=1 ck=1 w=8",
+                        {"clamp_press": 1.0, "clamp_k": 1.0,
+                         "clamp_w": 8.0}))
+        configs.append(("K2 w=8 (no press)", {"clamp_w": 8.0}))
     if args.gate == "H":
         # hop hypothesis (diag_snap3d.py case 29): MuJoCo's snap coasts
         # because the kicked object HOPS off its 3-4 hull-corner plane
