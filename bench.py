@@ -5,6 +5,9 @@ Metrics (BASELINE.md:31 — "rollouts/sec (2D/3D); guided denoising steps/sec"):
 - 3d_squeeze_rollouts_per_sec  — 800-step 3D squeezes (Pallas kernel)
 - guided_denoise_steps_per_sec — one fused guided DDIM step: UNet eps +
   B=16 x 9,000-pose classifier gradient + update (the flagship loop)
+- guided3d_denoise_steps_per_sec — same loop in 3D: PointNet++-encoded
+  object, 42-pt grippers, pose grid in 18 lax.map chunks (= the
+  reference's sub_bs=512, generator/guided_sample_3d.sh)
 - eval_rollouts_per_sec        — 8,000-step re-grasp verification rollouts
 - eval3d_rollouts_per_sec      — 32,000-step 3D re-grasp verification
 - 2d_squeeze_rollouts_per_sec  — 200-step 2D squeezes (headline)
@@ -47,7 +50,9 @@ def _baselines() -> dict:
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             b = json.load(f)
-        if "mj_3d_rollouts_per_sec" in b and "mj_eval3d_rollouts_per_sec" in b:
+        if ("mj_3d_rollouts_per_sec" in b
+                and "mj_eval3d_rollouts_per_sec" in b
+                and "torch_guided3d_steps_per_sec" in b):
             return b
     try:
         if "mujoco_single_core_rollouts_per_sec" not in b:
@@ -107,9 +112,108 @@ def _baselines() -> dict:
             b["torch_guided_steps_per_sec"] = _torch_guided_baseline()
     except Exception:
         b.setdefault("torch_guided_steps_per_sec", 0.05)
+    try:
+        if "torch_guided3d_steps_per_sec" not in b:
+            b["torch_guided3d_steps_per_sec"] = _torch_guided3d_baseline()
+    except Exception:
+        b.setdefault("torch_guided3d_steps_per_sec", 0.005)
     with open(BASELINE_CACHE, "w") as f:
         json.dump(b, f)
     return b
+
+
+def _torch_guided3d_baseline(batch: int = 16, rows: int = 9000,
+                             sub: int = 512, npts: int = 512) -> float:
+    """Conservative reference 3D cond_fn cost on this host. The reference
+    re-encodes the tiled point cloud with PointNet++ for EVERY pose row
+    (generator/diffusion.py:491,497: object_vertices_all[i:i+sub] inside
+    the sub_bs loop) — measured as written on this CPU host that is ~1e5x
+    slower than the TPU path, an uninformative ratio. This baseline
+    instead charges the reference for the STRONGEST torch implementation
+    of its semantics: encode each of the `batch` clouds ONCE per denoise
+    step (not per row) and run only the trunk + gripper/pose embeds over
+    the batch x 9,000 tiled rows, sub-batched at the reference's
+    sub_bs=512 (generator/guided_sample_3d.sh). FPS is replaced by strided
+    center sampling (cheaper than the reference's serial FPS loop). Both
+    choices UNDER-count the reference's true cost, so vs_baseline for
+    guided3d is a floor."""
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    w = 256
+
+    class SA(torch.nn.Module):
+        def __init__(self, m, k, cin, mlps):
+            super().__init__()
+            self.m, self.k = m, k
+            layers = []
+            for co in mlps:
+                layers += [torch.nn.Conv2d(cin, co, 1),
+                           torch.nn.BatchNorm2d(co), torch.nn.ReLU()]
+                cin = co
+            self.net = torch.nn.Sequential(*layers)
+
+        def forward(self, xyz, feats):
+            b, n, _ = xyz.shape
+            centers = xyz[:, :: max(n // self.m, 1)][:, : self.m]
+            d2 = torch.cdist(centers, xyz)
+            idx = d2.topk(self.k, largest=False).indices          # (b, m, k)
+            g = torch.gather(
+                xyz.unsqueeze(1).expand(b, self.m, n, 3), 2,
+                idx.unsqueeze(-1).expand(b, self.m, self.k, 3))
+            g = g - centers.unsqueeze(2)
+            if feats is not None:
+                c = feats.shape[-1]
+                gf = torch.gather(
+                    feats.unsqueeze(1).expand(b, self.m, n, c), 2,
+                    idx.unsqueeze(-1).expand(b, self.m, self.k, c))
+                g = torch.cat([g, gf], -1)
+            x = self.net(g.permute(0, 3, 1, 2))                   # (b,C,m,k)
+            return centers, x.max(-1).values.permute(0, 2, 1)
+
+    sa1 = SA(512, 32, 3, (64, 128))
+    sa2 = SA(128, 64, 3 + 128, (128, w))
+    glob = torch.nn.Sequential(
+        torch.nn.Conv1d(w + 3, w, 1), torch.nn.BatchNorm1d(w),
+        torch.nn.ReLU())
+    trunk_in = w + w + 9 + 18 + w        # obj feat, gripper enc, ori, pos, t
+    trunk = torch.nn.Sequential(
+        torch.nn.Linear(trunk_in, 2 * w), torch.nn.BatchNorm1d(2 * w),
+        torch.nn.ReLU(),
+        *[m for _ in range(7) for m in
+          (torch.nn.Linear(2 * w if _ == 0 else w, w),
+           torch.nn.BatchNorm1d(w), torch.nn.ReLU())],
+        torch.nn.Linear(w, 3))
+    gripper = torch.nn.Sequential(
+        torch.nn.Linear(42, w), torch.nn.ReLU(), torch.nn.Linear(w, w))
+
+    cloud = torch.randn(batch, npts, 3)
+    ctrl = torch.randn(sub, 42, requires_grad=True)
+    aux = torch.randn(sub, 9 + 18 + w)       # ori/pos/time embeds
+
+    def encode_once():
+        # once per denoise step: object features for the batch's clouds
+        with torch.no_grad():
+            c1, f1 = sa1(cloud, None)
+            c2, f2 = sa2(c1, f1)
+            gl = glob(torch.cat([c2, f2], -1).permute(0, 2, 1))
+            return gl.max(-1).values
+
+    def trunk_sub(obj_feat):
+        # per pose-row work: trunk + gripper/pose embeds, fwd+bwd wrt ctrl
+        x = torch.cat([obj_feat[:1].expand(sub, w), gripper(ctrl), aux], -1)
+        out = trunk(x).sum()
+        out.backward()
+
+    feat = encode_once()
+    trunk_sub(feat)  # warm
+    t0 = time.time()
+    feat = encode_once()
+    t_enc = time.time() - t0
+    t0 = time.time()
+    trunk_sub(feat)
+    dt = t_enc + (time.time() - t0) * (batch * rows / sub)
+    return 1.0 / dt
 
 
 def _torch_guided_baseline(batch: int = 16, rows: int = 9000) -> float:
@@ -253,6 +357,48 @@ def measure_guided(batch: int = 16, repeats: int = 3) -> float:
     return steps / (time.time() - t0)
 
 
+def measure_guided3d(batch: int = 16, repeats: int = 3) -> float:
+    """Guided 3D denoise steps/sec — the flagship BASELINE.md target
+    ("guided 3D sampling end-to-end on TPU"): UNet eps + PointNet++-encoded
+    object + 9,000-pose classifier gradient (sub-batched lax.map chunks,
+    matching the reference's sub_bs=512) + DDIM update, per step."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgdm_tpu.design.guidance import GuidedSampler
+    from dgdm_tpu.models.profile3d import ProfileForward3D
+    from dgdm_tpu.models.unet1d import ConditionalUnet1D
+
+    unet = ConditionalUnet1D(input_dim=1)
+    cls = ProfileForward3D(params_ch=42)
+    noise = jax.random.normal(jax.random.PRNGKey(0), (batch, 42, 1))
+    unet_params = unet.init(
+        jax.random.PRNGKey(1), noise, jnp.zeros((batch,), jnp.int32)
+    )["params"]
+    cls_vars = cls.init(
+        jax.random.PRNGKey(2),
+        jnp.zeros((1, 42)), jnp.zeros((1, 1)), jnp.zeros((1, 2)),
+        jnp.zeros((1,)), jnp.zeros((1, 512, 3)), train=False,
+    )
+    # 9,000-pose grid in 18 chunks = the reference's sub_bs=512 structure
+    sampler = GuidedSampler(unet, cls, pose_chunks=18)
+    obj = jax.random.normal(jax.random.PRNGKey(3), (512, 3)) * 0.03
+    scale = jnp.asarray(0.001)
+
+    def run():
+        out = sampler.sample(
+            unet_params, cls_vars, noise, obj, "rotate_clockwise", scale
+        )
+        jax.block_until_ready(out)
+
+    run()
+    t0 = time.time()
+    for _ in range(repeats):
+        run()
+    steps = sampler.num_inference_steps * repeats
+    return steps / (time.time() - t0)
+
+
 def measure_eval(batch: int = 16, num_rot: int = 384) -> float:
     """8,000-step re-grasp verification rollouts/sec (sim_test_mj schedule)."""
     import jax
@@ -351,6 +497,15 @@ def main():
               rg / b["torch_guided_steps_per_sec"])
     except Exception as e:
         print(json.dumps({"metric": "guided_denoise_steps_per_sec",
+                          "error": str(e)[:200]}), flush=True)
+    try:
+        rg3 = measure_guided3d()
+        _emit("guided3d_denoise_steps_per_sec", rg3,
+              "fused guided 3D DDIM steps/s (PointNet++ cls, B=16 x 9,000-pose"
+              " grad, 18 sub-batches)",
+              rg3 / b["torch_guided3d_steps_per_sec"])
+    except Exception as e:
+        print(json.dumps({"metric": "guided3d_denoise_steps_per_sec",
                           "error": str(e)[:200]}), flush=True)
     try:
         re_ = measure_eval()
