@@ -23,7 +23,11 @@ from dgdm_tpu.sim import engine3d, pallas3d
 OUT = os.path.join(os.path.dirname(__file__), "..", "runs", "calib")
 
 RANGES = {
-    "mu_plane": (np.log10(0.7), 0.35),
+    # r4: widened DOWN to ~0.15 — the round-4 snap trace (docs/PARITY.md)
+    # shows the engine's plane patch wipes the kick's momentum one step
+    # after contact, and mu_plane=0.2 was the only knob that moved the
+    # case-29 final (+0.0287 -> +0.0342 vs mj +0.0616)
+    "mu_plane": (np.log10(0.5), 0.55),
     # r3c: widened DOWN — the r3b fit (0.836) sat against a floor of 0.40,
     # and case-level probes show the final alignment snap is finger-friction
     # bound: mu_finger 0.05 completes case 29's snap to +0.126 (mj saturates
@@ -37,7 +41,12 @@ RANGES = {
     # r3c: widened UP — b_contact 3000 (above the old 1265 cap) also
     # completes the snap (+0.111) by damping the approach instead of
     # locking the slide.
-    "b_contact": (np.log10(800.0), 0.55),
+    # r4: widened DOWN to ~80 — MuJoCo's measured clamp press is solref
+    # (0.02, 1): b_mj ~ 100, a critically-damped SUSTAINED press (fn ~ b*vn
+    # over ~8 deepening steps), where the fitted 798 (d*b*dt = 1.44 > 1)
+    # spikes once and recoils; the r3 search floor of 225 never saw the
+    # soft regime with the rest of the calibration free to refit around it.
+    "b_contact": (np.log10(475.0), 0.78),
     "unload": (np.log10(0.2), 0.7),
     "rough": (np.log10(40.0), 0.9),
     "c_r": (np.log10(0.05), 0.6),
@@ -56,6 +65,10 @@ def main():
     ap.add_argument("--out", default=os.path.join(OUT, "calib3d_search.json"))
     ap.add_argument("--val_frac", type=float, default=1 / 3,
                     help="held-out case fraction (fit scores on train only)")
+    ap.add_argument("--num_points", type=int, default=256,
+                    help="per-object contact sample count (r4: 192 measured "
+                         "1.39x faster at statistically identical pooled "
+                         "fidelity, runs/calib/probe_points_3d.json)")
     args = ap.parse_args()
 
     d = np.load(os.path.join(OUT, "oracle3d_suite.npz"))
@@ -70,7 +83,8 @@ def main():
         verts = d["verts"][i][: d["nv"][i]].astype(np.float64)
         faces = d["faces"][i][: d["nf"][i]]
         scenes.append(engine3d.make_scene(d["yl"][i], d["yr"][i], verts,
-                                          faces, num_points=256))
+                                          faces,
+                                          num_points=args.num_points))
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
 
     # pad the 16 suite thetas to one kernel LANE
