@@ -473,11 +473,45 @@ def measure_eval3d(batch: int = 8, num_rot: int = 128) -> float:
     return float(np.median(rates))
 
 
-def _emit(metric, value, unit, vs):
-    print(json.dumps({
+def _emit(metric, value, unit, vs, extra=None):
+    row = {
         "metric": metric, "value": round(value, 2), "unit": unit,
         "vs_baseline": round(vs, 2),
-    }), flush=True)
+    }
+    if extra:
+        row.update(extra)
+    print(json.dumps(row), flush=True)
+
+
+def _sim_roofline(rollouts_per_sec, steps, flops_per_program_step,
+                  lane=128, vpu_band=4e12):
+    """Device-normalized utilization for a sim-kernel metric (VERDICT r3
+    item 10): analytic vector-FLOP estimate per FULL-SOLVE program-step
+    (one program = LANE rollouts; counts from the kernel structure, see
+    scripts/mfu_3d.py) x the measured contact-phase step mix x measured
+    program-steps/sec / the ~4 Tflop/s usable VPU band. The travel
+    fast-path steps contribute ~no flops (runs/calib/mfu_3d.json), so the
+    flops_per_program_step passed in must already include the phase-mix
+    factor; the contact-phase-only utilization is higher (~86% measured
+    in 3D)."""
+    prog_steps_per_sec = rollouts_per_sec * steps / lane
+    tflops = prog_steps_per_sec * flops_per_program_step / 1e12
+    return {"sim_steps_per_sec": round(rollouts_per_sec * steps),
+            "est_vector_tflops": round(tflops, 2),
+            "est_vpu_frac": round(tflops * 1e12 / vpu_band, 3)}
+
+
+# analytic vector-FLOP counts per program-step, averaged over the measured
+# phase mix (one program = 128 lanes; P = contact points): full solve =
+# narrow phase + frames + NIT x (assembly + line search) x P x LANE +
+# NIT x Cholesky x LANE, times the contact-phase step fraction (3D: steps
+# 400-800 of 800 = 0.5, runs/calib/mfu_3d.json; 2D: ~30% of a 200-step
+# squeeze past onset, runs/calib/probe_settle.json).
+# 2D: 5-DOF solver, ~60% of the 3D op mix at NIT=5, P=100 contour points
+FLOPS_PROG_STEP_3D = ((70 + 160 + 6 * 460) * 192 * 128
+                      + 6 * 250 * 128) * 0.5
+FLOPS_PROG_STEP_2D = ((50 + 80 + 5 * 280) * 100 * 128
+                      + 5 * 120 * 128) * 0.3
 
 
 def main():
@@ -486,7 +520,8 @@ def main():
         r3 = measure_tpu_3d()
         _emit("3d_squeeze_rollouts_per_sec", r3,
               "rollouts/s (800-step 3D squeezes)",
-              r3 / (b["mj_3d_rollouts_per_sec"] * RAY_CONCURRENCY_3D))
+              r3 / (b["mj_3d_rollouts_per_sec"] * RAY_CONCURRENCY_3D),
+              extra=_sim_roofline(r3, 800, FLOPS_PROG_STEP_3D))
     except Exception as e:
         print(json.dumps({"metric": "3d_squeeze_rollouts_per_sec",
                           "error": str(e)[:200]}), flush=True)
@@ -494,7 +529,8 @@ def main():
         rg = measure_guided()
         _emit("guided_denoise_steps_per_sec", rg,
               "fused guided DDIM steps/s (B=16 x 9,000-pose classifier grad)",
-              rg / b["torch_guided_steps_per_sec"])
+              rg / b["torch_guided_steps_per_sec"],
+              extra={"classifier_rows_per_sec": round(rg * 16 * 9000)})
     except Exception as e:
         print(json.dumps({"metric": "guided_denoise_steps_per_sec",
                           "error": str(e)[:200]}), flush=True)
@@ -503,7 +539,8 @@ def main():
         _emit("guided3d_denoise_steps_per_sec", rg3,
               "fused guided 3D DDIM steps/s (PointNet++ cls, B=16 x 9,000-pose"
               " grad, 18 sub-batches)",
-              rg3 / b["torch_guided3d_steps_per_sec"])
+              rg3 / b["torch_guided3d_steps_per_sec"],
+              extra={"classifier_rows_per_sec": round(rg3 * 16 * 9000)})
     except Exception as e:
         print(json.dumps({"metric": "guided3d_denoise_steps_per_sec",
                           "error": str(e)[:200]}), flush=True)
@@ -511,7 +548,8 @@ def main():
         re_ = measure_eval()
         _emit("eval_rollouts_per_sec", re_,
               "rollouts/s (8,000-step re-grasp verification)",
-              re_ / (b["mj_eval_rollouts_per_sec"] * RAY_CONCURRENCY_2D))
+              re_ / (b["mj_eval_rollouts_per_sec"] * RAY_CONCURRENCY_2D),
+              extra=_sim_roofline(re_, 8000, FLOPS_PROG_STEP_2D))
     except Exception as e:
         print(json.dumps({"metric": "eval_rollouts_per_sec",
                           "error": str(e)[:200]}), flush=True)
@@ -519,7 +557,8 @@ def main():
         re3 = measure_eval3d()
         _emit("eval3d_rollouts_per_sec", re3,
               "rollouts/s (32,000-step 3D re-grasp verification)",
-              re3 / (b["mj_eval3d_rollouts_per_sec"] * RAY_CONCURRENCY_3D))
+              re3 / (b["mj_eval3d_rollouts_per_sec"] * RAY_CONCURRENCY_3D),
+              extra=_sim_roofline(re3, 32000, FLOPS_PROG_STEP_3D))
     except Exception as e:
         print(json.dumps({"metric": "eval3d_rollouts_per_sec",
                           "error": str(e)[:200]}), flush=True)
@@ -537,7 +576,8 @@ def main():
     r2 = measure_tpu_2d()
     _emit("2d_squeeze_rollouts_per_sec", r2,
           "rollouts/s (200-step object-x-gripper squeezes)",
-          r2 / (b["mujoco_single_core_rollouts_per_sec"] * RAY_CONCURRENCY_2D))
+          r2 / (b["mujoco_single_core_rollouts_per_sec"] * RAY_CONCURRENCY_2D),
+          extra=_sim_roofline(r2, 200, FLOPS_PROG_STEP_2D))
 
 
 if __name__ == "__main__":

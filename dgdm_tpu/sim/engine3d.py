@@ -258,7 +258,7 @@ def make_scene(
     yr: np.ndarray,
     verts: np.ndarray,
     faces: np.ndarray,
-    num_points: int = 256,
+    num_points: int = 192,
     seed: int = 0,
     obj_props=None,
 ) -> Scene3D:
@@ -266,9 +266,14 @@ def make_scene(
     the object mesh (watertight).
 
     ``num_points`` is the CONTACT sample count (the dynamics model's input
-    clouds are sampled separately, train/data.py). 256 is the calibrated
-    default — fidelity statistics were fitted at this density and the fused
-    kernel runs 2.2x faster than at 512."""
+    clouds are sampled separately, train/data.py). The calibration was
+    fitted at 256; round 4 measured 192 as statistically equivalent on the
+    full oracle suite (corr 0.6994 vs 0.7007, median ratio 0.950 vs 0.895,
+    agree 0.787 vs 0.790 — runs/calib/probe_points_3d.json) at 1.39x the
+    fused-kernel throughput (14.6k vs 10.4k rollouts/s), and a held-out
+    re-search of the calibration at 192 (calib3d_search_r4.json) found no
+    better basin — so 192 is the production default. The suite CI keeps
+    the fitted 256 explicitly (tests/test_oracle3d.py)."""
     g = GRIPPER_3D
     hgrid, fmass = _gripper_host_work(np.asarray(yl), np.asarray(yr))
     # the oracle body = visual + collision copies of the same (hulled) mesh:
