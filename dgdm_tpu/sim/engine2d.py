@@ -127,6 +127,17 @@ class Calib:
                                # fitted overdamped Baumgarte target whose
                                # d*b*dt = 1.44 > 1 restitutive spike pops
                                # the object off the press. 0.0 = off.
+    plane_corner: jnp.ndarray = 0.0
+                               # corner-support plane contact (3D Newton,
+                               # round 4): blends the plane row's per-point
+                               # enforcement weight toward the footprint
+                               # convex-hull corner set (scene.bottom_w,
+                               # engine3d.corner_weights_3d) with the total
+                               # patch stiffness preserved — MuJoCo contacts
+                               # the plane at 3-4 hull corners, and the
+                               # round-4 snap trace shows the engine's dense
+                               # patch tilt-braces the pivot-lift those
+                               # sparse corners allow. 0.0 = off.
     clamp_w: jnp.ndarray = 1.0
                                # clamp-regime scalar weight boost (3D
                                # Newton, round 4): fast-closing finger
@@ -139,7 +150,8 @@ class Calib:
 CALIB_FIELDS = ("mu_plane", "mu_finger", "mu_torsion", "k_contact",
                 "b_contact", "unload", "rough", "c_r", "restitution",
                 "lam_sat", "om_release", "v_gate", "mu_ballistic", "ram",
-                "w_fmult", "clamp_k", "clamp_press", "clamp_w")
+                "w_fmult", "clamp_k", "clamp_press", "clamp_w",
+                "plane_corner")
 
 
 # Fitted against the 60-case x 48-theta MuJoCo oracle suite targeting the

@@ -225,7 +225,35 @@ def object_properties_3d(verts: np.ndarray, faces: np.ndarray,
     mass *= SIM.mass_factor
     inertia = inertia * SIM.mass_factor
     pts = mesh3d.sample_surface(verts, faces, num_points, seed=seed)
-    return mass, com, inertia, pts
+    return mass, com, inertia, pts, corner_weights_3d(pts)
+
+
+def corner_weights_3d(pts: np.ndarray, z_tol: float = 2e-3,
+                      r_tol: float = 2.5e-3) -> np.ndarray:
+    """Per-point plane-support corner weight in [0, 1]: 1 for sampled
+    surface points on the bottom face near a footprint convex-hull vertex,
+    0 elsewhere. MuJoCo contacts the plane at 3-4 hull CORNERS, not a
+    dense patch — the round-4 snap trace (docs/PARITY.md) shows the
+    engine's 60+-point patch tilt-braces the pivot-lift MuJoCo's sparse
+    corner support allows. Consumed by the Calib.plane_corner gated
+    reweighting in step_newton3 (default 0.0 = exact no-op)."""
+    pts = np.asarray(pts, np.float64)
+    zmin = pts[:, 2].min()
+    bottom = pts[:, 2] <= zmin + z_tol
+    w = np.zeros(pts.shape[0], np.float32)
+    bxy = pts[bottom, :2]
+    if bxy.shape[0] >= 3:
+        try:
+            from scipy.spatial import ConvexHull
+
+            hull_xy = bxy[ConvexHull(bxy).vertices]
+        except Exception:
+            hull_xy = bxy
+        d2 = ((pts[:, None, :2] - hull_xy[None]) ** 2).sum(-1).min(-1)
+        w = (bottom & (d2 <= r_tol**2)).astype(np.float32)
+    if w.sum() < 3.0:                       # degenerate: keep the patch
+        w = bottom.astype(np.float32)
+    return w
 
 
 # Per-gripper host work (envelope bake + exact hull masses) costs ~2.7 s of
@@ -281,7 +309,11 @@ def make_scene(
     # their V-HACD hulls in the reference too)
     if obj_props is None:
         obj_props = object_properties_3d(verts, faces, num_points, seed)
-    mass, com, inertia, pts = obj_props
+    if len(obj_props) == 4:             # pre-round-4 caller without weights
+        mass, com, inertia, pts = obj_props
+        corner_w = corner_weights_3d(np.asarray(pts))
+    else:
+        mass, com, inertia, pts, corner_w = obj_props
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
     return Scene3D(
         yl=f32(np.asarray(yl).reshape(g.nu, g.nv)),
@@ -293,7 +325,7 @@ def make_scene(
         inertia=f32(inertia),
         inv_inertia=f32(np.linalg.inv(inertia)),
         bottom_pts=f32(pts[:1]),      # unused: plane contact uses all points
-        bottom_w=f32(np.ones(1)),
+        bottom_w=f32(corner_w),       # (P,) footprint-corner support weights
         finger_mass=f32(fmass),
     )
 
@@ -675,6 +707,21 @@ def step_newton3(
     # a MuJoCo condim-4 pyramidal contact is 4 edge rows in parallel
     el_w = jnp.array([1.0, 1.0, 0.0])[:, None]
     w_n = w_n * (1.0 + (calib.w_fmult - 1.0) * el_w)
+
+    # ---- corner-support plane contact (round 4; docs/PARITY.md r4) ----
+    # blend the plane row's per-point weight toward the footprint
+    # hull-corner set (scene.bottom_w), total active stiffness preserved:
+    # MuJoCo supports the object on 3-4 hull corners, the engine on a
+    # 60+-point patch whose tilt brace pins the snap's pivot-lift.
+    # calib.plane_corner = 0.0 is an exact no-op.
+    act_p_row = act[2]
+    cw = scene.bottom_w * act_p_row
+    corner_full = cw * (jnp.sum(act_p_row)
+                        / jnp.maximum(jnp.sum(cw), 1e-6))
+    pc = calib.plane_corner
+    plane_scale = (1.0 - pc) + pc * corner_full
+    w_n = w_n * jnp.stack([jnp.ones_like(plane_scale),
+                           jnp.ones_like(plane_scale), plane_scale])
 
     # ---- clamp-regime coupled bracing (round 4; docs/PARITY.md r3b) ----
     # MuJoCo's clamp press moves ~2.6x more momentum per step than the

@@ -231,6 +231,24 @@ def main():
                         {"clamp_press": 1.0, "clamp_k": 1.0,
                          "clamp_w": 8.0}))
         configs.append(("K2 w=8 (no press)", {"clamp_w": 8.0}))
+    if args.gate == "Q":
+        # corner-support plane contact (round 4): plane-row weight
+        # concentrated on the footprint hull corners (scene.bottom_w),
+        # total patch stiffness preserved — the structural version of the
+        # tilt-brace/pivot-lift finding in the round-4 snap trace.
+        for pc in (0.5, 1.0):
+            configs.append((f"Q plane_corner={pc}", {"plane_corner": pc}))
+        configs.append(("Q pc=1 mu_p=0.35",
+                        {"plane_corner": 1.0, "mu_plane": 0.35}))
+        configs.append(("Q pc=1 mu_p=0.2",
+                        {"plane_corner": 1.0, "mu_plane": 0.2}))
+        configs.append(("Q pc=1 ram=0.85",
+                        {"plane_corner": 1.0, "ram": 0.85}))
+        configs.append(("Q pc=1 b=350",
+                        {"plane_corner": 1.0, "b_contact": 350.0}))
+        configs.append(("Q pc=1 mu_p=0.35 ram=0.85",
+                        {"plane_corner": 1.0, "mu_plane": 0.35,
+                         "ram": 0.85}))
     if args.gate == "H":
         # hop hypothesis (diag_snap3d.py case 29): MuJoCo's snap coasts
         # because the kicked object HOPS off its 3-4 hull-corner plane
