@@ -46,6 +46,10 @@ def main():
         engine2d.make_scene(*sample_gripper_2d(i), contour)
         for i in range(args.pairs)])
     poses = engine2d.pose_grid()[: args.poses]
+    pad = (-poses.shape[0]) % pallas2d.LANE
+    if pad:
+        poses = np.concatenate(
+            [poses, np.broadcast_to(poses[-1], (pad,) + poses.shape[1:])], 0)
     poses_j = jnp.asarray(poses)
     arrs = pallas2d.scene_arrays(scenes)
     n_roll = args.pairs * poses.shape[0]

@@ -74,8 +74,13 @@ def main():
                     help="held-out fraction of suite cases: the fit scores "
                          "on train only; val stats reported for the final "
                          "constants (VERDICT r2 item 8)")
+    ap.add_argument("--newton_iters", type=int, default=None,
+                    help="override engine2d.NEWTON_ITERS for the fit (used "
+                         "to test whether a refit recovers NIT=3 fidelity)")
     args = ap.parse_args()
     engine2d.SOLVER = "newton"
+    if args.newton_iters is not None:
+        engine2d.NEWTON_ITERS = args.newton_iters
 
     d = np.load(os.path.join(OUT, "oracle2d_suite.npz"))
     alt = np.load(os.path.join(OUT, "oracle2d_suite_s100.npz"))["delta_theta"]

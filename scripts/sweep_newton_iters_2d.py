@@ -1,8 +1,10 @@
-"""Fidelity + throughput sweep over the 2D kernel's Newton iteration count
-and cap warm-start, against the MuJoCo oracle suite and the datagen
-workload. Picks the shipping configuration for pallas2d.
+"""Fidelity + throughput sweep over the 2D kernel's Newton iteration count,
+against the MuJoCo oracle suite and the datagen workload. Picks the
+shipping NEWTON_KERNEL_ITERS for pallas2d. (A cap warm-start variant was
+tried in round 3 and rejected — see the NEWTON_KERNEL_ITERS comment in
+pallas2d.py — so only cold configs remain.)
 
-    python scripts/sweep_newton_iters_2d.py --configs 5c,4c,3c,3w,4w
+    python scripts/sweep_newton_iters_2d.py --configs 5,4,3,2
 """
 
 import argparse
@@ -27,8 +29,8 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "runs", "calib")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="5c,4c,3c,4w,3w",
-                    help="comma list: <iters><c|w> (cold / warm caps)")
+    ap.add_argument("--configs", default="5,4,3,2",
+                    help="comma list of Newton iteration counts")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -63,8 +65,8 @@ def main():
 
     results = []
     for cfg in args.configs.split(","):
-        iters, warm = int(cfg[:-1]), cfg[-1] == "w"
-        kw = dict(newton_iters=iters, warm_caps=warm, solver="newton")
+        iters = int(cfg.rstrip("c"))
+        kw = dict(newton_iters=iters, solver="newton")
         dth = pallas2d.profile_batch_pallas(*arrs, poses_f, steps=steps, **kw)[0]
         en = np.asarray(dth)[:, : len(ths)]
         total_s, corr, ratio, agree = score(en, target, sig_mask)
@@ -75,7 +77,7 @@ def main():
         t0 = time.time()
         run(); run()
         rate = 2 * total / (time.time() - t0)
-        row = {"config": cfg, "iters": iters, "warm_caps": warm,
+        row = {"config": cfg, "iters": iters,
                "corr": corr, "ratio": ratio, "agree": agree,
                "score": total_s, "rollouts_per_sec": rate}
         print(json.dumps(row), flush=True)
