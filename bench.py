@@ -318,6 +318,41 @@ def measure_tpu_3d(num_pairs: int = 8, num_poses: int = 1152) -> float:
     return float(np.median(rates))
 
 
+def _compiled_tflops_per_call(fn, *args):
+    """XLA's own FLOP count for one compiled call of ``fn(*args)`` (the
+    compiler's cost model over the optimized HLO, so fusion/DCE are already
+    reflected). Returns None where the backend has no cost analysis."""
+    import jax
+
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f / 1e12 if f > 0 else None
+    except Exception:
+        return None
+
+
+def _mxu_mfu(tflops_per_call, calls_per_sec):
+    """Device-normalized MFU for an NN-dominated metric (VERDICT r3 item 10):
+    compiled-HLO flops x measured call rate / nominal chip matmul peak. The
+    peak is looked up by device_kind; unknown kinds fall back to 197 Tflop/s
+    (v5e bf16) and the assumption is reported alongside the number."""
+    import jax
+
+    if tflops_per_call is None:
+        return {}
+    kind = jax.devices()[0].device_kind.lower()
+    peaks = {"v4": 275.0, "v5e": 197.0, "v5 lite": 197.0, "v5p": 459.0,
+             "v6e": 918.0, "v6 lite": 918.0}
+    peak = next((v for k, v in peaks.items() if k in kind), 197.0)
+    tps = tflops_per_call * calls_per_sec
+    return {"est_tflops": round(tps, 3),
+            "est_mfu": round(tps / peak, 4),
+            "mfu_peak_assumed_tflops": peak}
+
+
 def measure_guided(batch: int = 16, repeats: int = 3) -> float:
     """Full guided denoise steps (UNet + 9,000-pose classifier grad + DDIM
     update) per second, measured over whole 5-step sampling calls."""
@@ -354,7 +389,11 @@ def measure_guided(batch: int = 16, repeats: int = 3) -> float:
     for _ in range(repeats):
         run()
     steps = sampler.num_inference_steps * repeats
-    return steps / (time.time() - t0)
+    rate = steps / (time.time() - t0)
+    tf = _compiled_tflops_per_call(
+        lambda n: sampler.sample(unet_params, cls_vars, n, obj,
+                                 "rotate_clockwise", scale), noise)
+    return rate, _mxu_mfu(tf, rate / sampler.num_inference_steps)
 
 
 def measure_guided3d(batch: int = 16, repeats: int = 3) -> float:
@@ -396,7 +435,11 @@ def measure_guided3d(batch: int = 16, repeats: int = 3) -> float:
     for _ in range(repeats):
         run()
     steps = sampler.num_inference_steps * repeats
-    return steps / (time.time() - t0)
+    rate = steps / (time.time() - t0)
+    tf = _compiled_tflops_per_call(
+        lambda n: sampler.sample(unet_params, cls_vars, n, obj,
+                                 "rotate_clockwise", scale), noise)
+    return rate, _mxu_mfu(tf, rate / sampler.num_inference_steps)
 
 
 def measure_eval(batch: int = 16, num_rot: int = 384) -> float:
@@ -507,11 +550,12 @@ def _sim_roofline(rollouts_per_sec, steps, flops_per_program_step,
 # NIT x Cholesky x LANE, times the contact-phase step fraction (3D: steps
 # 400-800 of 800 = 0.5, runs/calib/mfu_3d.json; 2D: ~30% of a 200-step
 # squeeze past onset, runs/calib/probe_settle.json).
-# 2D: 5-DOF solver, ~60% of the 3D op mix at NIT=5, P=100 contour points
+# 2D: 5-DOF solver, ~60% of the 3D op mix at the shipped NIT=3 (round 4;
+# pallas2d.NEWTON_KERNEL_ITERS), P=100 contour points
 FLOPS_PROG_STEP_3D = ((70 + 160 + 6 * 460) * 192 * 128
                       + 6 * 250 * 128) * 0.5
-FLOPS_PROG_STEP_2D = ((50 + 80 + 5 * 280) * 100 * 128
-                      + 5 * 120 * 128) * 0.3
+FLOPS_PROG_STEP_2D = ((50 + 80 + 3 * 280) * 100 * 128
+                      + 3 * 120 * 128) * 0.3
 
 
 def main():
@@ -526,21 +570,23 @@ def main():
         print(json.dumps({"metric": "3d_squeeze_rollouts_per_sec",
                           "error": str(e)[:200]}), flush=True)
     try:
-        rg = measure_guided()
+        rg, mfu_g = measure_guided()
         _emit("guided_denoise_steps_per_sec", rg,
               "fused guided DDIM steps/s (B=16 x 9,000-pose classifier grad)",
               rg / b["torch_guided_steps_per_sec"],
-              extra={"classifier_rows_per_sec": round(rg * 16 * 9000)})
+              extra={"classifier_rows_per_sec": round(rg * 16 * 9000),
+                     **mfu_g})
     except Exception as e:
         print(json.dumps({"metric": "guided_denoise_steps_per_sec",
                           "error": str(e)[:200]}), flush=True)
     try:
-        rg3 = measure_guided3d()
+        rg3, mfu_g3 = measure_guided3d()
         _emit("guided3d_denoise_steps_per_sec", rg3,
               "fused guided 3D DDIM steps/s (PointNet++ cls, B=16 x 9,000-pose"
               " grad, 18 sub-batches)",
               rg3 / b["torch_guided3d_steps_per_sec"],
-              extra={"classifier_rows_per_sec": round(rg3 * 16 * 9000)})
+              extra={"classifier_rows_per_sec": round(rg3 * 16 * 9000),
+                     **mfu_g3})
     except Exception as e:
         print(json.dumps({"metric": "guided3d_denoise_steps_per_sec",
                           "error": str(e)[:200]}), flush=True)

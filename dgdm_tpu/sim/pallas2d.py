@@ -38,15 +38,17 @@ from dgdm_tpu.sim.engine2d import (
 
 LANE = 128
 # Newton iterations in the full-contact solve (static; also a jit arg on
-# profile_batch_pallas). 4 matches the 5-iteration oracle-suite fidelity
-# within noise (scripts/sweep_newton_iters_2d.py: corr 0.321/0.338, ratio
-# 0.962/1.007, agree equal) at +16% datagen throughput; engine2d uses the
-# same count. NOTE a warm start was tried and REJECTED: priming the primal
-# from the previous step's impulse correction over-rotates 5x (stale
-# corrections pump energy through the lagged cones), and warm-starting only
-# the friction caps under-brakes (ratio 1.65) because the fitted constants
-# were calibrated against the cold-start lagged-cone transient.
-NEWTON_KERNEL_ITERS = 4
+# profile_batch_pallas). 3, with the calibration refit at 3 iterations
+# (round 4, runs/calib/calib2d_search_nit3.json): suite score 1.001 vs the
+# 4-iteration fit's 1.011 (val identical at 0.903) at +19% throughput
+# (287k vs 241k rollouts/s, runs/calib/sweep_newton_iters_2d_r4.json);
+# engine2d uses the same count. NOTE a warm start was tried and REJECTED:
+# priming the primal from the previous step's impulse correction
+# over-rotates 5x (stale corrections pump energy through the lagged
+# cones), and warm-starting only the friction caps under-brakes (ratio
+# 1.65) because the fitted constants were calibrated against the
+# cold-start lagged-cone transient.
+NEWTON_KERNEL_ITERS = 3
 # settled-travel fast-path gate (see pallas3d.EPS_SETTLED): post-solve
 # velocity magnitude below which the object counts as statically supported
 # (travel-phase residual ~1e-6; transients 5e-2+, runs/calib/probe_settle.json)
