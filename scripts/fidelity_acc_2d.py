@@ -19,8 +19,9 @@ at a scale where MuJoCo labels are affordable:
      initial perturbation (runs/calib/mj_sensitivity_2d.json): no model
      can score above this against any one oracle instance.
 
-Stages (MuJoCo labelling is CPU-bound, training wants the TPU):
+Stages (MuJoCo labelling is CPU-bound, the rest wants the TPU):
     JAX_PLATFORMS=cpu python scripts/fidelity_acc_2d.py --stage mj
+    python scripts/fidelity_acc_2d.py --stage cache   # demo-scale engine datagen
     python scripts/fidelity_acc_2d.py --stage train
 """
 
@@ -76,6 +77,36 @@ def stage_mj():
         MJ_CACHE, n=len(recs),
         **{f"{k}_{i}": r[k] for i, r in enumerate(recs) for k in r})
     print(f"-> {MJ_CACHE} ({time.time()-t0:.0f}s)", flush=True)
+
+
+def stage_cache():
+    """Engine-label 24 objects x 128 grippers at the full demo grid.
+
+    Produces runs/demo2d/datagen_24x128.npz for the data-scale arm: the
+    demo2d pipeline trains on exactly this distribution (synthetic icons,
+    seed-indexed grippers, 360x25 pose grid) but never persisted its
+    datagen output.  ~10 min on one TPU chip at bench throughput.
+    """
+    from dgdm_tpu.cli.datagen import synthetic_icon
+    from dgdm_tpu.geom.contour import extract_contours
+    from dgdm_tpu.sim.datagen import generate_2d
+
+    cache = os.path.join(os.path.dirname(__file__), "..", "runs", "demo2d",
+                         "datagen_24x128.npz")
+    keys = ("ctrlpts", "obj_theta", "obj_pos", "delta_theta", "delta_pos",
+            "object_vertices")
+    t0 = time.time()
+    recs = []
+    for oi in range(24):
+        contour = extract_contours(synthetic_icon(oi))
+        recs += generate_2d(oi, contour, list(range(128)))
+        print(f"cache object {oi} done {time.time()-t0:.0f}s", flush=True)
+    np.savez_compressed(
+        cache, n=len(recs),
+        **{f"{k}_{i}": r[k] for i, r in enumerate(recs) for k in keys})
+    n_roll = len(recs) * recs[0]["delta_theta"].shape[0]
+    print(f"-> {cache}: {len(recs)} records, {n_roll} rollouts, "
+          f"{time.time()-t0:.0f}s", flush=True)
 
 
 def load_mj_records():
@@ -227,12 +258,17 @@ def _arm_ceiling(summary):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stage", default="all", choices=["mj", "train", "all"])
+    ap.add_argument("--stage", default="all",
+                    choices=["mj", "cache", "train", "all"])
     ap.add_argument("--arm", default="all",
                     choices=["label", "scale", "ceiling", "all"])
     args = ap.parse_args()
     if args.stage in ("mj", "all") and not os.path.exists(MJ_CACHE):
         stage_mj()
+    if args.stage == "cache" or (args.stage == "all" and not os.path.exists(
+            os.path.join(os.path.dirname(__file__), "..", "runs", "demo2d",
+                         "datagen_24x128.npz"))):
+        stage_cache()
     if args.stage in ("train", "all"):
         stage_train(arm=args.arm)
 

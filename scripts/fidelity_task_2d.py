@@ -109,11 +109,21 @@ def train_dynamics(rows_train, rows_val, seed=0, steps=DYN_STEPS):
                       {k: jnp.asarray(v[:256]) for k, v in tr.items()})
     key = jax.random.PRNGKey(seed + 1)
     bs = min(16384, n)
-    for _ in range(steps):
-        idx = rng.randint(0, n, bs)
+    # the whole training set lives on device; batches are device-side
+    # gathers. A host-side gather + transfer per step (the first version)
+    # queued thousands of unreleased 14 MB transfer buffers through the
+    # axon tunnel and OOM-killed the host at 130 GB RSS; the periodic
+    # block bounds the in-flight dispatch queue.
+    tr_dev = {k: jnp.asarray(v) for k, v in tr.items()}
+    del tr
+    for s in range(steps):
+        idx = jnp.asarray(rng.randint(0, n, bs))
         key, k = jax.random.split(key)
         dstate, m = dtr.train_step(
-            dstate, {k2: jnp.asarray(v[idx]) for k2, v in tr.items()}, k)
+            dstate, {k2: jnp.take(v, idx, axis=0)
+                     for k2, v in tr_dev.items()}, k)
+        if s % 100 == 99:
+            jax.block_until_ready(m)
     vm = dtr.eval_step(dstate, va, key)
     stats = {kk: float(vm[kk]) for kk in
              ("loss", "acc_ori", "acc_x", "acc_y")}
