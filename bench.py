@@ -338,7 +338,12 @@ def _mxu_mfu(tflops_per_call, calls_per_sec):
     """Device-normalized MFU for an NN-dominated metric (VERDICT r3 item 10):
     compiled-HLO flops x measured call rate / nominal chip matmul peak. The
     peak is looked up by device_kind; unknown kinds fall back to 197 Tflop/s
-    (v5e bf16) and the assumption is reported alongside the number."""
+    (v5e bf16) and the assumption is reported alongside the number.
+
+    Approximation note: the numerator is XLA's TOTAL flop count over the
+    optimized HLO (matmuls + elementwise + transcendentals — the backend
+    exposes no matmul-only split), so est_mfu slightly OVERSTATES true
+    MXU utilization; treat it as an upper bound on the matmul fraction."""
     import jax
 
     if tflops_per_call is None:
@@ -353,9 +358,10 @@ def _mxu_mfu(tflops_per_call, calls_per_sec):
             "mfu_peak_assumed_tflops": peak}
 
 
-def measure_guided(batch: int = 16, repeats: int = 3) -> float:
+def measure_guided(batch: int = 16, repeats: int = 3):
     """Full guided denoise steps (UNet + 9,000-pose classifier grad + DDIM
-    update) per second, measured over whole 5-step sampling calls."""
+    update) per second, measured over whole 5-step sampling calls.
+    Returns ``(steps_per_sec, mfu_dict)``."""
     import jax
     import jax.numpy as jnp
 
@@ -396,8 +402,9 @@ def measure_guided(batch: int = 16, repeats: int = 3) -> float:
     return rate, _mxu_mfu(tf, rate / sampler.num_inference_steps)
 
 
-def measure_guided3d(batch: int = 16, repeats: int = 3) -> float:
-    """Guided 3D denoise steps/sec — the flagship BASELINE.md target
+def measure_guided3d(batch: int = 16, repeats: int = 3):
+    """Guided 3D denoise steps/sec (returns ``(steps_per_sec, mfu_dict)``)
+    — the flagship BASELINE.md target
     ("guided 3D sampling end-to-end on TPU"): UNet eps + PointNet++-encoded
     object + 9,000-pose classifier gradient (sub-batched lax.map chunks,
     matching the reference's sub_bs=512) + DDIM update, per step."""

@@ -93,6 +93,7 @@ def stage_cache():
 
     cache = os.path.join(os.path.dirname(__file__), "..", "runs", "demo2d",
                          "datagen_24x128.npz")
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
     keys = ("ctrlpts", "obj_theta", "obj_pos", "delta_theta", "delta_pos",
             "object_vertices")
     t0 = time.time()

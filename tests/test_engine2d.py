@@ -160,9 +160,11 @@ def test_statistical_fidelity_vs_mujoco_suite():
             ratios.append(e.std() / m.std())
         agrees.append((cls(e) == cls(m)).mean())
     corr, ratio, agree = np.mean(corrs), np.median(ratios), np.mean(agrees)
-    # round-3 held-out refit at 4 Newton iters measures 0.534 / 0.862 /
-    # 0.695 on this 20-case subset (runs/calib/calib2d_newton_r3.json);
-    # bounds leave ~20% regression margin
+    # shipped round-4 NIT=3 refit (runs/calib/calib2d_search_nit3.json:
+    # full-suite corr 0.413 / ratio 0.895 / agree 0.643, val corr 0.350);
+    # this 20-case subset historically runs ~0.1 above the full suite
+    # (round-3 NIT=4 fit measured 0.534/0.862/0.695 here), so the bounds
+    # below retain roughly 15-20% regression margin over the shipped fit
     assert corr > 0.42, f"suite corr regressed: {corr:.3f} (was 0.53)"
     assert 0.72 < ratio < 1.15, f"magnitude regressed: {ratio:.3f} (was 0.86)"
     assert agree > 0.62, f"class agreement regressed: {agree:.3f} (was 0.70)"
@@ -236,3 +238,63 @@ def test_earclip_anchor_weights():
     dth_a = engine2d.profile(sc_a, poses, steps=40)[0]
     assert np.isfinite(np.asarray(dth_u)).all()
     assert np.isfinite(np.asarray(dth_a)).all()
+
+
+@pytest.mark.slow
+def test_heldout_val_corr_floor_2d():
+    """Held-out validation-split fidelity floor (VERDICT r4 item 7).
+
+    The suite guard above gates FULL-suite statistics only, so a
+    throughput-motivated recalibration could silently trade held-out
+    correlation down (the round-4 NIT=3 refit moved val corr 0.383 ->
+    0.350 while the full-suite score stayed flat). This test replays the
+    calibration search's own validation protocol — the RandomState(7)
+    first-third split and smoothed per-case correlation of
+    scripts/search_calib_2d.py:114-118,53-65 — and floors it at the
+    shipped fit's value minus ~6% slack (0.350 measured,
+    runs/calib/calib2d_search_nit3.json: val.corr)."""
+    import os
+
+    suite = os.path.join(os.path.dirname(__file__), "..", "runs", "calib",
+                         "oracle2d_suite.npz")
+    if not os.path.exists(suite):
+        pytest.skip("oracle suite not built")
+    d = np.load(suite)
+    alt = np.load(suite.replace(".npz", "_s100.npz"))["delta_theta"]
+    target = 0.5 * (d["delta_theta"] + alt)
+    n_cases = target.shape[0]
+    perm = np.random.RandomState(7).permutation(n_cases)
+    val_idx = np.sort(perm[: int(round(n_cases / 3))])
+    ths = d["thetas"]
+    steps = int(d["steps"])
+
+    scenes = [
+        engine2d.make_scene(d["yl"][i], d["yr"][i], d["contours"][i])
+        for i in val_idx
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+    poses = jnp.asarray(
+        np.stack([np.zeros_like(ths), np.zeros_like(ths), ths], -1),
+        jnp.float32,
+    )
+    en = np.asarray(engine2d.profile_batch(stacked, poses, steps=steps)[0])
+    tgt = target[val_idx]
+    sig = tgt.std(-1) > 0.01
+
+    def sm_all(x, w=5):
+        pad = np.concatenate([x[..., -w:], x, x[..., :w]], -1)
+        k = np.ones(w) / w
+        out = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), -1, pad)
+        return out[..., w:-w]
+
+    se, st = sm_all(en), sm_all(tgt)
+    se_c = se - se.mean(-1, keepdims=True)
+    st_c = st - st.mean(-1, keepdims=True)
+    num = (se_c * st_c).sum(-1)
+    den = np.sqrt((se_c**2).sum(-1) * (st_c**2).sum(-1)) + 1e-12
+    val_corr = float((num / den)[sig].mean())
+    assert np.isfinite(en).all()
+    assert val_corr >= 0.33, (
+        f"held-out val corr regressed: {val_corr:.3f} "
+        "(shipped NIT=3 fit: 0.350, runs/calib/calib2d_search_nit3.json)"
+    )
