@@ -89,6 +89,8 @@ def _rollout_kernel(
     fth_ref,         # (1, 1, LANE)  final theta after all steps
     fpx_ref,         # (1, 1, LANE)  final origin x
     fpy_ref,         # (1, 1, LANE)  final origin y
+    cfull_ref,       # (1, 1, LANE)  per-block full-solve step count
+    ccheap_ref,      # (1, 1, LANE)  per-block cheap-solve step count
     *,
     steps: int,
     dt: float,
@@ -140,6 +142,7 @@ def _rollout_kernel(
         zero, zero, zero,                          # vel x, y, om
         zero, zero,                                # zb, vz
         zero, zero, zero, zero,                    # ql, qr, qdl, qdr
+        zero, zero,                                # counters: full, cheap
         com_x + zero, com_y + zero, theta0 + zero, # snapshot (com, theta)
     )
 
@@ -148,7 +151,8 @@ def _rollout_kernel(
     d_imp = jnp.float32(IMPEDANCE)
 
     def _normal_step(st):
-        (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr) = st
+        (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr,
+         cnt_f, cnt_c) = st
 
         c, s = jnp.cos(th), jnp.sin(th)            # (1, L)
 
@@ -327,6 +331,7 @@ def _rollout_kernel(
                 (vx, vy, om, qdl, qdr,
                  lam_n, lam_t, lam_sx, lam_sy, lam_w),
             )
+            cnt_f = cnt_f + 1.0
         else:
             # ---- coupled semi-smooth Newton solve (engine2d.step_newton) --
             # u = (vx, vy, om, qdl, qdr); damped Newton on the convex
@@ -573,16 +578,21 @@ def _rollout_kernel(
             broad_b = scal_ref[0, 0, 15]
             maybe = ((cy <= broad_a + ql) | (cy >= broad_b + qr)) \
                 .astype(jnp.float32)
-            u = list(jax.lax.cond(jnp.sum(maybe) > 0.0,
+            any_f = (jnp.sum(maybe) > 0.0)
+            u = list(jax.lax.cond(any_f,
                                   _full_solve, _cheap_solve, tuple(u_unc)))
             vx, vy, om = u[0], u[1], u[2]
             qdl, qdr = u[3], u[4]
+            mf = any_f.astype(jnp.float32)
+            cnt_f = cnt_f + mf
+            cnt_c = cnt_c + (1.0 - mf)
 
         return (
             cx + dt * vx, cy + dt * vy, th + dt * om,
             vx, vy, om,
             zb + dt * vz, vz,
             ql + dt * qdl, qr + dt * qdr, qdl, qdr,
+            cnt_f, cnt_c,
         )
 
     def _travel_step(st):
@@ -591,17 +601,18 @@ def _rollout_kernel(
         with gravity applied), no finger contact is reachable this step, so
         only the finger servo advances — identical to the engines' no-contact
         unconstrained update. Skips all (P, L) narrow-phase + solver work."""
-        (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr) = st
+        (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr,
+         cnt_f, cnt_c) = st
         f_l = g.kp * (ctrl_l - ql) - g.joint_damping * qdl
         f_r = g.kp * (ctrl_r - qr) - g.joint_damping * qdr
         qdl = qdl + dt * f_l * inv_fml
         qdr = qdr + dt * f_r * inv_fmr
         return (cx, cy, th, vx, vy, om, zb, vz,
-                ql + dt * qdl, qr + dt * qdr, qdl, qdr)
+                ql + dt * qdl, qr + dt * qdr, qdl, qdr, cnt_f, cnt_c)
 
     def step_body(i, st):
         (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr,
-         scx, scy, sth) = st
+         cnt_f, cnt_c, scx, scy, sth) = st
         is_rg = jnp.asarray(False)
         if regrasp_every:
             do_rg = (i % regrasp_every == 0) & (i > 0)
@@ -638,20 +649,23 @@ def _rollout_kernel(
         travel = settled & (jnp.sum(maybe.astype(jnp.float32)) == 0.0) \
             & jnp.logical_not(is_rg)
 
-        dyn = (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr)
+        dyn = (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr,
+               cnt_f, cnt_c)
         dyn = jax.lax.cond(travel, _travel_step, _normal_step, dyn)
-        (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr) = dyn
+        (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr,
+         cnt_f, cnt_c) = dyn
 
         take = (i + 1) == snapshot_step
         scx = jnp.where(take, cx, scx)
         scy = jnp.where(take, cy, scy)
         sth = jnp.where(take, th, sth)
         return (cx, cy, th, vx, vy, om, zb, vz, ql, qr, qdl, qdr,
-                scx, scy, sth)
+                cnt_f, cnt_c, scx, scy, sth)
 
     state = jax.lax.fori_loop(0, steps, step_body, state)
     (cx, cy, th, *_r) = state
-    scx, scy, sth = state[12], state[13], state[14]
+    cnt_f, cnt_c = state[12], state[13]
+    scx, scy, sth = state[14], state[15], state[16]
     if snapshot_step <= 0 or snapshot_step >= steps:
         scx, scy, sth = cx, cy, th
 
@@ -670,6 +684,8 @@ def _rollout_kernel(
     fth_ref[0, 0, :] = jnp.mod(th, two_pi)[0, :]
     fpx_ref[0, 0, :] = org_x[0, :]
     fpy_ref[0, 0, :] = org_y[0, :]
+    cfull_ref[0, 0, :] = cnt_f[0, :]
+    ccheap_ref[0, 0, :] = cnt_c[0, :]
 
 
 def profile_batch_pallas(*args, solver=None, **kwargs):
@@ -687,7 +703,7 @@ def profile_batch_pallas(*args, solver=None, **kwargs):
     jax.jit,
     static_argnames=(
         "steps", "dt", "regrasp_every", "solver_iters", "ctrl_mag",
-        "snapshot_step", "solver", "newton_iters",
+        "snapshot_step", "solver", "newton_iters", "return_step_mix",
     ),
 )
 def _profile_batch_pallas(
@@ -704,6 +720,7 @@ def _profile_batch_pallas(
     snapshot_step: int = 0,
     solver: str = "jacobi",
     newton_iters: int = NEWTON_KERNEL_ITERS,
+    return_step_mix: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """Fused rollouts: (B pairs) x (N poses) -> (dtheta (B, N),
     dpos (B, N, 2), final_theta (B, N), final_pos (B, N, 2)).
@@ -730,14 +747,14 @@ def _profile_batch_pallas(
     )
     grid = (b, n // LANE)
     out_shape = [
-        jax.ShapeDtypeStruct((b, 1, n), jnp.float32) for _ in range(6)
+        jax.ShapeDtypeStruct((b, 1, n), jnp.float32) for _ in range(8)
     ]
     out_specs = [
         pl.BlockSpec((1, 1, LANE), lambda i, j: (i, 0, j),
                      memory_space=pltpu.VMEM)
-        for _ in range(6)
+        for _ in range(8)
     ]
-    dth, dpx, dpy, fth, fpx, fpy = pl.pallas_call(
+    dth, dpx, dpy, fth, fpx, fpy, cfull, ccheap = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -766,6 +783,10 @@ def _profile_batch_pallas(
     )
     dpos = jnp.stack([dpx, dpy], axis=-1)
     fpos = jnp.stack([fpx, fpy], axis=-1)
+    if return_step_mix:
+        # (full, cheap) solve counts per (pair, pose-block), lane-broadcast
+        # — the measured phase mix for the bench roofline (VERDICT r4 item 2)
+        return dth, dpos, fth, fpos, (cfull[:, 0, :], ccheap[:, 0, :])
     return dth, dpos, fth, fpos
 
 

@@ -83,6 +83,7 @@ def _rollout3d_kernel(
     poses_ref,       # (3, LANE)
     qw_ref, qz_ref, dpx_ref, dpy_ref, valid_ref,     # (1, 1, LANE) each
     sqw_ref, sqz_ref, sdx_ref, sdy_ref,              # snapshot outputs
+    cfull_ref, ccheap_ref,   # (1, 1, LANE): per-block step-type counters
     *,
     steps: int,
     dt: float,
@@ -153,6 +154,7 @@ def _rollout3d_kernel(
         zero, zero, zero,            # om (world)
         zero, zero, zero, zero,      # ql, qr, qdl, qdr
         zero - 1e9, zero - 1e9,      # travel cache (invalid until a solve)
+        zero + 0.0, zero + 0.0,      # step-type counters: full, cheap solves
         px + zero, py + zero, qw0 + zero, qz0 + zero,  # snapshot
     )
 
@@ -161,7 +163,7 @@ def _rollout3d_kernel(
 
     def _normal_step(st):
         (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx) = st
+         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c) = st
 
         # rotation matrix from quaternion (1, L)
         r00 = 1 - 2 * (qy * qy + qz * qz)
@@ -409,6 +411,7 @@ def _rollout3d_kernel(
                      lamt[1][0], lamt[1][1], lamt[1][2])
             carry = jax.lax.fori_loop(0, solver_iters, solve, carry)
             (vx, vy, vz, ox, oy, oz, qdl, qdr, *_r) = carry
+            cnt_f = cnt_f + 1.0
         else:
             # ---- coupled semi-smooth Newton solve (engine3d.step_newton3) --
             # u = (vx, vy, vz, ox, oy, oz, qdl, qdr); 6 damped Newton
@@ -791,11 +794,15 @@ def _rollout3d_kernel(
                 (wyn <= (-g.jaw_offset + g.width) + ql + br_fmax_l)
                 | (wyx >= g.jaw_offset + qr + br_fmin_r)
             ).astype(jnp.float32)
-            u = list(jax.lax.cond(jnp.sum(maybe) > 0.0,
+            any_f = (jnp.sum(maybe) > 0.0)
+            u = list(jax.lax.cond(any_f,
                                   _full_solve, _cheap_solve, tuple(u_unc)))
             vx, vy, vz = u[0], u[1], u[2]
             ox, oy, oz = u[3], u[4], u[5]
             qdl, qdr = u[6], u[7]
+            mf = any_f.astype(jnp.float32)
+            cnt_f = cnt_f + mf
+            cnt_c = cnt_c + (1.0 - mf)
 
         # integrate
         px = px + dt * vx
@@ -814,7 +821,7 @@ def _rollout3d_kernel(
         ql = ql + dt * qdl
         qr = qr + dt * qdr
         return (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-                ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx)
+                ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c)
 
     def _travel_step(st):
         """Settled-travel fast path: the object is a static fixed point of
@@ -825,7 +832,7 @@ def _rollout3d_kernel(
         u_unc). Skips all (P, L) work: ~60-75% of a datagen squeeze is this
         phase (runs/calib/probe_settle.json)."""
         (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx) = st
+         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c) = st
         f_l = g.kp * (ctrl_l - ql) - g.joint_damping * qdl
         f_r = g.kp * (-ctrl_l - qr) - g.joint_damping * qdr
         qdl = qdl + dt * f_l * inv_fml
@@ -833,11 +840,12 @@ def _rollout3d_kernel(
         ql = ql + dt * qdl
         qr = qr + dt * qdr
         return (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-                ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx)
+                ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c)
 
     def step_body(i, st):
         (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, spx, spy, sqw, sqz) = st
+         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c,
+         spx, spy, sqw, sqz) = st
         if regrasp_every:
             rg = (i % regrasp_every == 0) & (i > 0)
             z_ = jnp.float32(0.0)
@@ -885,10 +893,10 @@ def _rollout3d_kernel(
         travel = settled & (jnp.sum(maybe) == 0.0)
 
         dyn = (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-               ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx)
+               ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c)
         dyn = jax.lax.cond(travel, _travel_step, _normal_step, dyn)
         (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx) = dyn
+         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c) = dyn
 
         take = (i + 1) == snapshot_step
         spx = jnp.where(take, px, spx)
@@ -896,12 +904,13 @@ def _rollout3d_kernel(
         sqw = jnp.where(take, qw, sqw)
         sqz = jnp.where(take, qz, sqz)
         return (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-                ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx,
+                ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c,
                 spx, spy, sqw, sqz)
 
     state = jax.lax.fori_loop(0, steps, step_body, state)
     (px, py, pz, qw, qx, qy, qz, *_rest) = state
-    spx, spy, sqw, sqz = state[19], state[20], state[21], state[22]
+    cnt_f, cnt_c = state[19], state[20]
+    spx, spy, sqw, sqz = state[21], state[22], state[23], state[24]
     if snapshot_step <= 0 or snapshot_step >= steps:
         spx, spy, sqw, sqz = px, py, qw, qz
 
@@ -932,6 +941,8 @@ def _rollout3d_kernel(
     sqz_ref[0, 0, :] = sqz[0, :]
     sdx_ref[0, 0, :] = (sorg_x - pose_x)[0, :]
     sdy_ref[0, 0, :] = (sorg_y - pose_y)[0, :]
+    cfull_ref[0, 0, :] = cnt_f[0, :]
+    ccheap_ref[0, 0, :] = cnt_c[0, :]
 
 
 def profile_batch_pallas3d(*args, solver=None, **kwargs):
@@ -949,7 +960,7 @@ def profile_batch_pallas3d(*args, solver=None, **kwargs):
     jax.jit,
     static_argnames=(
         "steps", "dt", "regrasp_every", "solver_iters", "ctrl_mag",
-        "snapshot_step", "solver",
+        "snapshot_step", "solver", "return_step_mix",
     ),
 )
 def _profile_batch_pallas3d(
@@ -964,6 +975,7 @@ def _profile_batch_pallas3d(
     ctrl_mag: float = SIM.ctrl_3d,
     snapshot_step: int = 0,
     solver: str = "jacobi",
+    return_step_mix: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     b, p = points.shape[0], points.shape[1]
     n = poses.shape[0]
@@ -976,13 +988,14 @@ def _profile_batch_pallas3d(
         snapshot_step=snapshot_step, solver=solver,
     )
     grid = (b, n // LANE)
-    out_shape = [jax.ShapeDtypeStruct((b, 1, n), jnp.float32) for _ in range(9)]
+    out_shape = [jax.ShapeDtypeStruct((b, 1, n), jnp.float32)
+                 for _ in range(11)]
     out_specs = [
         pl.BlockSpec((1, 1, LANE), lambda i, j: (i, 0, j),
                      memory_space=pltpu.VMEM)
-        for _ in range(9)
+        for _ in range(11)
     ]
-    qw, qz, dpx, dpy, valid, sqw, sqz, sdx, sdy = pl.pallas_call(
+    qw, qz, dpx, dpy, valid, sqw, sqz, sdx, sdy, cfull, ccheap = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -1014,6 +1027,13 @@ def _profile_batch_pallas3d(
     theta_f = jnp.mod(2.0 * jnp.arctan2(qz, qw), two_pi)
     sdpos = jnp.stack([sdx, sdy], axis=-1)
     fpos = jnp.stack([dpx, dpy], axis=-1)
+    if return_step_mix:
+        # per-(pair, block) step-type counts, broadcast over lanes: full
+        # 8-DOF solves / cheap 6-DOF plane solves; travel fast-path steps
+        # = steps - full - cheap. The honest per-workload phase mix for
+        # the bench roofline (VERDICT r4 item 2).
+        mix = (cfull[:, 0, :], ccheap[:, 0, :])
+        return dth, sdpos, theta_f, valid > 0.5, fpos, mix
     return dth, sdpos, theta_f, valid > 0.5, fpos
 
 
