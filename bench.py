@@ -242,8 +242,9 @@ def _torch_guided_baseline(batch: int = 16, rows: int = 9000) -> float:
 
 
 def measure_tpu_2d(num_pairs: int = 256, repeats: int = 3,
-                   solver=None) -> float:
-    """2D datagen throughput at the production dispatch shape.
+                   solver=None):
+    """2D datagen throughput at the production dispatch shape; returns
+    ``(rollouts_per_sec, (mean_full, mean_cheap) step mix per program)``.
 
     256 pairs x 9,088 poses = 2.33M simultaneous rollouts per dispatch —
     the shape real datagen uses (sim/run_sim_2d.sh covers 1,001 x 1,000
@@ -275,12 +276,39 @@ def measure_tpu_2d(num_pairs: int = 256, repeats: int = 3,
             run()
             rates.append(total / (time.time() - t0))
         rate = float(np.median(rates))
+        # measured step mix for the roofline: same squeeze schedule + pose
+        # grid on a pair subset (mix is a per-program mean; pairs beyond a
+        # few add nothing)
+        import jax
+        import jax.numpy as jnp
+
+        from dgdm_tpu.sim import pallas2d
+        from dgdm_tpu.geom.fingers import sample_gripper_2d
+        from dgdm_tpu.sim.datagen import stack_scenes
+
+        ang = np.linspace(0, 2 * np.pi, 100, endpoint=False)
+        rad = 0.035 * (1 + 0.25 * np.sin(3 * ang) + 0.1 * np.sin(7 * ang))
+        contour = np.stack([rad * np.cos(ang), rad * np.sin(ang)], -1)
+        scenes = stack_scenes(
+            [engine2d.make_scene(*sample_gripper_2d(i), contour)
+             for i in range(8)]
+        )
+        poses = engine2d.pose_grid()
+        pad = (-poses.shape[0]) % pallas2d.LANE
+        if pad:
+            poses = np.concatenate(
+                [poses, np.broadcast_to(poses[-1], (pad, 3))], axis=0)
+        arrs = pallas2d.scene_arrays(scenes)
+        mo = pallas2d.profile_batch_pallas(
+            *arrs, jnp.asarray(poses), return_step_mix=True)
+        jax.block_until_ready(mo)
+        mix = _kernel_mix(mo)
     finally:
         engine2d.SOLVER = saved
-    return rate
+    return rate, mix
 
 
-def measure_tpu_3d(num_pairs: int = 8, num_poses: int = 1152) -> float:
+def measure_tpu_3d(num_pairs: int = 8, num_poses: int = 1152):
     import jax
     import jax.numpy as jnp
 
@@ -315,7 +343,10 @@ def measure_tpu_3d(num_pairs: int = 8, num_poses: int = 1152) -> float:
         t0 = time.time()
         run()
         rates.append(num_pairs * num_poses / (time.time() - t0))
-    return float(np.median(rates))
+    mo = pallas3d.profile_batch_pallas3d(
+        *arrs, jnp.asarray(poses), return_step_mix=True)
+    jax.block_until_ready(mo)
+    return float(np.median(rates)), _kernel_mix(mo)
 
 
 def _compiled_tflops_per_call(fn, *args):
@@ -449,8 +480,9 @@ def measure_guided3d(batch: int = 16, repeats: int = 3):
     return rate, _mxu_mfu(tf, rate / sampler.num_inference_steps)
 
 
-def measure_eval(batch: int = 16, num_rot: int = 384) -> float:
-    """8,000-step re-grasp verification rollouts/sec (sim_test_mj schedule)."""
+def measure_eval(batch: int = 16, num_rot: int = 384):
+    """8,000-step re-grasp verification rollouts/sec (sim_test_mj schedule);
+    returns ``(rate, step_mix)``."""
     import jax
     import jax.numpy as jnp
 
@@ -482,12 +514,19 @@ def measure_eval(batch: int = 16, num_rot: int = 384) -> float:
         t0 = time.time()
         run()
         rates.append(batch * num_rot / (time.time() - t0))
-    return float(np.median(rates))
+    mo = pallas2d.profile_batch_pallas(
+        *arrs, jnp.asarray(poses),
+        steps=SIM.eval_steps_2d, regrasp_every=SIM.eval_regrasp_2d,
+        snapshot_step=SIM.eval_regrasp_2d, return_step_mix=True,
+    )
+    jax.block_until_ready(mo)
+    return float(np.median(rates)), _kernel_mix(mo)
 
 
-def measure_eval3d(batch: int = 8, num_rot: int = 128) -> float:
+def measure_eval3d(batch: int = 8, num_rot: int = 128):
     """32,000-step 3D re-grasp verification rollouts/sec
-    (dynamics/sim_test_mj_3d.py:135,154 schedule)."""
+    (dynamics/sim_test_mj_3d.py:135,154 schedule); returns
+    ``(rate, step_mix)``."""
     import jax
     import jax.numpy as jnp
 
@@ -520,7 +559,13 @@ def measure_eval3d(batch: int = 8, num_rot: int = 128) -> float:
         t0 = time.time()
         run()
         rates.append(batch * num_rot / (time.time() - t0))
-    return float(np.median(rates))
+    mo = pallas3d.profile_batch_pallas3d(
+        *arrs, jnp.asarray(poses),
+        steps=SIM.eval_steps_3d, regrasp_every=SIM.eval_regrasp_3d,
+        snapshot_step=SIM.eval_regrasp_3d, return_step_mix=True,
+    )
+    jax.block_until_ready(mo)
+    return float(np.median(rates)), _kernel_mix(mo)
 
 
 def _emit(metric, value, unit, vs, extra=None):
@@ -533,46 +578,61 @@ def _emit(metric, value, unit, vs, extra=None):
     print(json.dumps(row), flush=True)
 
 
-def _sim_roofline(rollouts_per_sec, steps, flops_per_program_step,
+def _sim_roofline(rollouts_per_sec, steps, mix, f_full, f_cheap,
                   lane=128, vpu_band=4e12):
     """Device-normalized utilization for a sim-kernel metric (VERDICT r3
-    item 10): analytic vector-FLOP estimate per FULL-SOLVE program-step
-    (one program = LANE rollouts; counts from the kernel structure, see
-    scripts/mfu_3d.py) x the measured contact-phase step mix x measured
-    program-steps/sec / the ~4 Tflop/s usable VPU band. The travel
-    fast-path steps contribute ~no flops (runs/calib/mfu_3d.json), so the
-    flops_per_program_step passed in must already include the phase-mix
-    factor; the contact-phase-only utilization is higher (~86% measured
-    in 3D)."""
-    prog_steps_per_sec = rollouts_per_sec * steps / lane
-    tflops = prog_steps_per_sec * flops_per_program_step / 1e12
+    item 10, accounting fixed per VERDICT r4 item 2): analytic vector-FLOP
+    estimates per program-step BY STEP TYPE (one program = LANE rollouts;
+    counts from the kernel structure, see scripts/mfu_3d.py) weighted by
+    the MEASURED per-workload step mix from the kernels' in-kernel
+    counters (``return_step_mix``) — full coupled solves vs cheap
+    plane-only solves vs ~free travel fast-path steps — over measured
+    program-steps/sec / the ~4 Tflop/s usable VPU band. ``mix`` is the
+    (mean_full, mean_cheap) step counts per program for THIS workload;
+    travel = steps - full - cheap contributes ~no flops."""
+    full_n, cheap_n = mix
+    full_n = min(full_n, float(steps))
+    cheap_n = min(cheap_n, float(steps) - full_n)
+    progs_per_sec = rollouts_per_sec / lane
+    tflops = progs_per_sec * (full_n * f_full + cheap_n * f_cheap) / 1e12
     return {"sim_steps_per_sec": round(rollouts_per_sec * steps),
             "est_vector_tflops": round(tflops, 2),
-            "est_vpu_frac": round(tflops * 1e12 / vpu_band, 3)}
+            "est_vpu_frac": round(tflops * 1e12 / vpu_band, 3),
+            "step_mix": {"full": round(full_n, 1), "cheap": round(cheap_n, 1),
+                         "travel": round(steps - full_n - cheap_n, 1)}}
 
 
-# analytic vector-FLOP counts per program-step, averaged over the measured
-# phase mix (one program = 128 lanes; P = contact points): full solve =
-# narrow phase + frames + NIT x (assembly + line search) x P x LANE +
-# NIT x Cholesky x LANE, times the contact-phase step fraction (3D: steps
-# 400-800 of 800 = 0.5, runs/calib/mfu_3d.json; 2D: ~30% of a 200-step
-# squeeze past onset, runs/calib/probe_settle.json).
-# 2D: 5-DOF solver, ~60% of the 3D op mix at the shipped NIT=3 (round 4;
-# pallas2d.NEWTON_KERNEL_ITERS), P=100 contour points
-FLOPS_PROG_STEP_3D = ((70 + 160 + 6 * 460) * 192 * 128
-                      + 6 * 250 * 128) * 0.5
-FLOPS_PROG_STEP_2D = ((50 + 80 + 3 * 280) * 100 * 128
-                      + 3 * 120 * 128) * 0.3
+# analytic vector-FLOP counts per program-step BY STEP TYPE (one program =
+# 128 lanes); the per-workload phase mix is measured, not assumed.
+# Full solve = narrow phase + frames + NIT x (assembly + line search) over
+# P contact points x LANE + NIT x Cholesky x LANE (3D: NIT=6, P=192;
+# 2D: NIT=3 shipped pallas2d.NEWTON_KERNEL_ITERS, P=100, ~60% of the 3D
+# per-point op mix). Cheap solve = plane-row-only Newton: 3D = 3 iters x
+# (6x6 Hessian assembly ~27 reduced entries + triple energy eval) over
+# C=24 hull corners + 6x6 Cholesky; 2D = 2 iters x 3-DOF support-friction
+# Newton over ~64 support points.
+FLOPS_3D_FULL = (70 + 160 + 6 * 460) * 192 * 128 + 6 * 250 * 128
+FLOPS_3D_CHEAP = (3 * ((27 * 3 + 120) * 24 + 150)) * 128
+FLOPS_2D_FULL = (50 + 80 + 3 * 280) * 100 * 128 + 3 * 120 * 128
+FLOPS_2D_CHEAP = (2 * (60 * 64 + 80)) * 128
+
+
+def _kernel_mix(out):
+    """Mean (full, cheap) step counts per program from a
+    ``return_step_mix=True`` kernel call's trailing (cfull, ccheap) pair."""
+    cf, cc = out[-1]
+    return float(np.mean(np.asarray(cf))), float(np.mean(np.asarray(cc)))
 
 
 def main():
     b = _baselines()
     try:
-        r3 = measure_tpu_3d()
+        r3, m3 = measure_tpu_3d()
         _emit("3d_squeeze_rollouts_per_sec", r3,
               "rollouts/s (800-step 3D squeezes)",
               r3 / (b["mj_3d_rollouts_per_sec"] * RAY_CONCURRENCY_3D),
-              extra=_sim_roofline(r3, 800, FLOPS_PROG_STEP_3D))
+              extra=_sim_roofline(r3, 800, m3,
+                                  FLOPS_3D_FULL, FLOPS_3D_CHEAP))
     except Exception as e:
         print(json.dumps({"metric": "3d_squeeze_rollouts_per_sec",
                           "error": str(e)[:200]}), flush=True)
@@ -598,27 +658,29 @@ def main():
         print(json.dumps({"metric": "guided3d_denoise_steps_per_sec",
                           "error": str(e)[:200]}), flush=True)
     try:
-        re_ = measure_eval()
+        re_, me_ = measure_eval()
         _emit("eval_rollouts_per_sec", re_,
               "rollouts/s (8,000-step re-grasp verification)",
               re_ / (b["mj_eval_rollouts_per_sec"] * RAY_CONCURRENCY_2D),
-              extra=_sim_roofline(re_, 8000, FLOPS_PROG_STEP_2D))
+              extra=_sim_roofline(re_, 8000, me_,
+                                  FLOPS_2D_FULL, FLOPS_2D_CHEAP))
     except Exception as e:
         print(json.dumps({"metric": "eval_rollouts_per_sec",
                           "error": str(e)[:200]}), flush=True)
     try:
-        re3 = measure_eval3d()
+        re3, me3 = measure_eval3d()
         _emit("eval3d_rollouts_per_sec", re3,
               "rollouts/s (32,000-step 3D re-grasp verification)",
               re3 / (b["mj_eval3d_rollouts_per_sec"] * RAY_CONCURRENCY_3D),
-              extra=_sim_roofline(re3, 32000, FLOPS_PROG_STEP_3D))
+              extra=_sim_roofline(re3, 32000, me3,
+                                  FLOPS_3D_FULL, FLOPS_3D_CHEAP))
     except Exception as e:
         print(json.dumps({"metric": "eval3d_rollouts_per_sec",
                           "error": str(e)[:200]}), flush=True)
     try:
         # secondary: the round-1 Jacobi kernel (faster, magnitude-biased
         # physics — kept selectable; see docs/PARITY.md)
-        rj = measure_tpu_2d(solver="jacobi")
+        rj, _mj = measure_tpu_2d(solver="jacobi")
         _emit("2d_squeeze_rollouts_per_sec_jacobi", rj,
               "rollouts/s (200-step squeezes, legacy Jacobi solver)",
               rj / (b["mujoco_single_core_rollouts_per_sec"] * RAY_CONCURRENCY_2D))
@@ -626,11 +688,11 @@ def main():
         print(json.dumps({"metric": "2d_squeeze_rollouts_per_sec_jacobi",
                           "error": str(e)[:200]}), flush=True)
     # headline LAST (the driver records the final line)
-    r2 = measure_tpu_2d()
+    r2, m2 = measure_tpu_2d()
     _emit("2d_squeeze_rollouts_per_sec", r2,
           "rollouts/s (200-step object-x-gripper squeezes)",
           r2 / (b["mujoco_single_core_rollouts_per_sec"] * RAY_CONCURRENCY_2D),
-          extra=_sim_roofline(r2, 200, FLOPS_PROG_STEP_2D))
+          extra=_sim_roofline(r2, 200, m2, FLOPS_2D_FULL, FLOPS_2D_CHEAP))
 
 
 if __name__ == "__main__":
