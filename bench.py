@@ -590,16 +590,28 @@ def _sim_roofline(rollouts_per_sec, steps, mix, f_full, f_cheap,
     program-steps/sec / the ~4 Tflop/s usable VPU band. ``mix`` is the
     (mean_full, mean_cheap) step counts per program for THIS workload;
     travel = steps - full - cheap contributes ~no flops."""
-    full_n, cheap_n = mix
+    full_n, cheap_n = mix[0], mix[1]
     full_n = min(full_n, float(steps))
     cheap_n = min(cheap_n, float(steps) - full_n)
     progs_per_sec = rollouts_per_sec / lane
-    tflops = progs_per_sec * (full_n * f_full + cheap_n * f_cheap) / 1e12
-    return {"sim_steps_per_sec": round(rollouts_per_sec * steps),
-            "est_vector_tflops": round(tflops, 2),
-            "est_vpu_frac": round(tflops * 1e12 / vpu_band, 3),
-            "step_mix": {"full": round(full_n, 1), "cheap": round(cheap_n, 1),
-                         "travel": round(steps - full_n - cheap_n, 1)}}
+    if len(mix) > 2:
+        # 3D: the kernel also counts full-solve Newton iterations, so split
+        # the full-solve cost into fixed (narrow phase + frames) and
+        # per-iteration parts
+        iters_n = mix[2]
+        f_fix, f_iter = f_full
+        flops_prog = full_n * f_fix + iters_n * f_iter + cheap_n * f_cheap
+    else:
+        flops_prog = full_n * f_full + cheap_n * f_cheap
+    tflops = progs_per_sec * flops_prog / 1e12
+    out = {"sim_steps_per_sec": round(rollouts_per_sec * steps),
+           "est_vector_tflops": round(tflops, 2),
+           "est_vpu_frac": round(tflops * 1e12 / vpu_band, 3),
+           "step_mix": {"full": round(full_n, 1), "cheap": round(cheap_n, 1),
+                        "travel": round(steps - full_n - cheap_n, 1)}}
+    if len(mix) > 2:
+        out["step_mix"]["newton_iters"] = round(mix[2], 1)
+    return out
 
 
 # analytic vector-FLOP counts per program-step BY STEP TYPE (one program =
@@ -611,17 +623,18 @@ def _sim_roofline(rollouts_per_sec, steps, mix, f_full, f_cheap,
 # (6x6 Hessian assembly ~27 reduced entries + triple energy eval) over
 # C=24 hull corners + 6x6 Cholesky; 2D = 2 iters x 3-DOF support-friction
 # Newton over ~64 support points.
-FLOPS_3D_FULL = (70 + 160 + 6 * 460) * 192 * 128 + 6 * 250 * 128
+FLOPS_3D_FULL = ((70 + 160) * 192 * 128,          # fixed: narrow + frames
+                 460 * 192 * 128 + 250 * 128)     # per Newton iteration
 FLOPS_3D_CHEAP = (3 * ((27 * 3 + 120) * 24 + 150)) * 128
 FLOPS_2D_FULL = (50 + 80 + 3 * 280) * 100 * 128 + 3 * 120 * 128
 FLOPS_2D_CHEAP = (2 * (60 * 64 + 80)) * 128
 
 
 def _kernel_mix(out):
-    """Mean (full, cheap) step counts per program from a
-    ``return_step_mix=True`` kernel call's trailing (cfull, ccheap) pair."""
-    cf, cc = out[-1]
-    return float(np.mean(np.asarray(cf))), float(np.mean(np.asarray(cc)))
+    """Mean (full, cheap[, newton-iter]) counts per program from a
+    ``return_step_mix=True`` kernel call's trailing counter tuple (2D emits
+    (cfull, ccheap); 3D adds the full-solve iteration total)."""
+    return tuple(float(np.mean(np.asarray(c))) for c in out[-1])
 
 
 def main():

@@ -441,11 +441,19 @@ def _rollout_kernel(
 
                     on_n = w_nn * (res > 0.0)
                     on_t = w_tt * (jnp.abs(w_tt * vt_) <= cap_t)
+                    # hoist on_n*jn[a] / on_t*jt[a] out of the b loop, and
+                    # jn[3]*jn[4] = ny^2*sl*sr = 0 exactly (complementary
+                    # masks; same for jt) — round-5 zero-structure cut
+                    yn = [on_n * jn[a] for a in range(5)]
+                    yt = [on_t * jt[a] for a in range(5)]
                     hm = [[None] * 5 for _ in range(5)]
                     for a in range(5):
                         for b_ in range(a, 5):
-                            hm[a][b_] = rsum(on_n * jn[a] * jn[b_]
-                                            + on_t * jt[a] * jt[b_])
+                            if (a, b_) == (3, 4):
+                                hm[a][b_] = 0.0
+                            else:
+                                hm[a][b_] = rsum(yn[a] * jn[b_]
+                                                 + yt[a] * jt[b_])
                     # plane iso-GN + torsion
                     hm[0][0] += rsum(fac_s) + mdiag[0]
                     hm[1][1] += rsum(fac_s) + mdiag[1]

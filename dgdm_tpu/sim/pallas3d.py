@@ -31,6 +31,9 @@ from dgdm_tpu.sim.surface_fit import (
 )
 
 LANE = 128
+# full-solve damped-Newton iterations (matches engine3d.NEWTON_ITERS3;
+# NIT=5 measured worse suite ratio in round 3 — see the kernel comment)
+NEWTON_KERNEL_ITERS3 = 6
 # settled-travel fast-path gate: post-solve velocity magnitude below which
 # the object counts as statically supported (measured travel-phase residual
 # ~2e-6 m/s; drop/grip transients are 5e-2..5e-1 — 3+ decades of separation,
@@ -83,7 +86,8 @@ def _rollout3d_kernel(
     poses_ref,       # (3, LANE)
     qw_ref, qz_ref, dpx_ref, dpy_ref, valid_ref,     # (1, 1, LANE) each
     sqw_ref, sqz_ref, sdx_ref, sdy_ref,              # snapshot outputs
-    cfull_ref, ccheap_ref,   # (1, 1, LANE): per-block step-type counters
+    cfull_ref, ccheap_ref, citer_ref,  # (1, 1, LANE): per-block step-type
+    #                                     + full-solve-iteration counters
     *,
     steps: int,
     dt: float,
@@ -92,6 +96,8 @@ def _rollout3d_kernel(
     ctrl_mag: float,
     snapshot_step: int,
     solver: str = "jacobi",
+    newton_iters: int = NEWTON_KERNEL_ITERS3,
+    newton_tol: float = 0.0,
 ):
     g = GRIPPER_3D
     x0f, x1f = g.ctrl_x_min, g.ctrl_x_max
@@ -155,6 +161,7 @@ def _rollout3d_kernel(
         zero, zero, zero, zero,      # ql, qr, qdl, qdr
         zero - 1e9, zero - 1e9,      # travel cache (invalid until a solve)
         zero + 0.0, zero + 0.0,      # step-type counters: full, cheap solves
+        zero + 0.0,                  # full-solve Newton-iteration counter
         px + zero, py + zero, qw0 + zero, qz0 + zero,  # snapshot
     )
 
@@ -163,7 +170,7 @@ def _rollout3d_kernel(
 
     def _normal_step(st):
         (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c) = st
+         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c, cnt_i) = st
 
         # rotation matrix from quaternion (1, L)
         r00 = 1 - 2 * (qy * qy + qz * qz)
@@ -412,6 +419,7 @@ def _rollout3d_kernel(
             carry = jax.lax.fori_loop(0, solver_iters, solve, carry)
             (vx, vy, vz, ox, oy, oz, qdl, qdr, *_r) = carry
             cnt_f = cnt_f + 1.0
+            cnt_i = cnt_i + jnp.float32(solver_iters)
         else:
             # ---- coupled semi-smooth Newton solve (engine3d.step_newton3) --
             # u = (vx, vy, vz, ox, oy, oz, qdl, qdr); 6 damped Newton
@@ -521,9 +529,9 @@ def _rollout3d_kernel(
                 u = list(u0_t)
                 # NIT=5 measured (round 3): +11% rollouts/s (9.0k -> 10.0k
                 # on the dev chip) but suite magnitude ratio 0.963 -> 0.843
-                # — a bad trade; 6 stays.
-                NIT = 6
-                for _it in range(NIT):
+                # — a bad trade; 6 stays the default
+                # (NEWTON_KERNEL_ITERS3), plumbed static for sweeps.
+                def newton_body(u):
                     fx_, fy_, fz_, pvy_ = vrel_of(u)
                     vnf = fx_ * nfx + fy_ * nfy + fz_ * nfz
                     vtfx = fx_ - vnf * nfx
@@ -579,13 +587,29 @@ def _rollout3d_kernel(
                     def hset(a, b, v):
                         h[a][b] = v
 
-                    # normal outer products minus tangential-GN correction
+                    # normal outer products minus tangential-GN correction.
+                    # Zero structure exploited (round 5): jp =
+                    # (0,0,1,ry,-rx,0,0,0) so the plane term survives in only
+                    # 6 of 36 entries; jf[6]*jf[7] = nfy^2*sl*sr = 0 exactly
+                    # (complementary masks); and cn_f*jf[a] is hoisted out of
+                    # the b loop — cuts the (P,L) assembly mults ~2.6x at
+                    # identical math modulo float reassociation.
                     cn_f = onf - fac_f
                     cn_p = onp - fac_p
+                    yf = [cn_f * jf[a] for a in range(8)]
                     for a in range(8):
                         for b_ in range(a, 8):
-                            hset(a, b_, rsum(cn_f * jf[a] * jf[b_]
-                                             + cn_p * jp[a] * jp[b_]))
+                            if (a, b_) == (6, 7):
+                                hset(a, b_, 0.0)
+                            else:
+                                hset(a, b_, rsum(yf[a] * jf[b_]))
+                    yp_n = cn_p * ry
+                    h[2][2] += rsum(cn_p)
+                    h[2][3] += rsum(yp_n)
+                    h[2][4] += rsum(-cn_p * rx)
+                    h[3][3] += rsum(yp_n * ry)
+                    h[3][4] += rsum(-yp_n * rx)
+                    h[4][4] += rsum(cn_p * rx * rx)
                     # tangential GN full-velocity blocks (shared by both rows)
                     facs = fac_f + fac_p
                     h[0][0] += rsum(facs)
@@ -662,11 +686,44 @@ def _rollout3d_kernel(
                     best12 = e1 <= e2
                     eb = jnp.where(best12, e1, e2)
                     take_new = eb <= e0
-                    u = [jnp.where(take_new,
-                                   jnp.where(best12, u1[a], u2[a]), u[a])
-                         for a in range(8)]
+                    u_new = [jnp.where(take_new,
+                                       jnp.where(best12, u1[a], u2[a]), u[a])
+                             for a in range(8)]
+                    # sup-norm of the ACCEPTED update over DOFs and lanes:
+                    # zero when the line search rejects (further iterations
+                    # would then be exact no-ops — same caps, same u)
+                    alpha = jnp.where(take_new,
+                                      jnp.where(best12, 1.0, 0.5), 0.0)
+                    mx = jnp.float32(0.0)
+                    for a in range(8):
+                        mx = jnp.maximum(mx, jnp.max(jnp.abs(dv[a])))
+                    mx = mx * jnp.max(alpha)
+                    return u_new, mx
 
-                return tuple(u)
+                if newton_tol > 0.0:
+                    # adaptive damped Newton (round 5): iterate to the
+                    # measured convergence tolerance instead of a fixed
+                    # count — steady-hold steps exit in 1-2 iterations,
+                    # impact steps get up to newton_iters (> 6), so the
+                    # average cost drops while hard steps converge FURTHER
+                    # than the old NIT=6 truncation.
+                    def w_cond(c):
+                        it_, _, mx_ = c
+                        return (it_ < newton_iters) & (mx_ > newton_tol)
+
+                    def w_body(c):
+                        it_, u_, _ = c
+                        u2_, mx_ = newton_body(list(u_))
+                        return it_ + 1, tuple(u2_), mx_
+
+                    it0 = jnp.int32(0)
+                    itn, u_t, _ = jax.lax.while_loop(
+                        w_cond, w_body, (it0, tuple(u), jnp.float32(1e9)))
+                    return tuple(u_t) + (itn.astype(jnp.float32),)
+                for _it in range(newton_iters):
+                    u, _ = newton_body(u)
+                    u = list(u)
+                return tuple(u) + (jnp.float32(newton_iters),)
 
             def _cheap_solve(u0_t):
                 # no finger contact anywhere in the block (the drop/settle +
@@ -721,11 +778,17 @@ def _rollout3d_kernel(
                     g5 = iz_ + rsum(rx * fy_ - ry * fx_)
                     onp = w_np * (resp > 0.0)
                     cn_p = onp - fac_p
-                    jp6 = (jp[0], jp[1], jp[2], jp[3], jp[4], jp[5])
-                    h = [[None] * 6 for _ in range(6)]
-                    for a in range(6):
-                        for b_ in range(a, 6):
-                            h[a][b_] = rsum(cn_p * jp6[a] * jp6[b_])
+                    # jp6 = (0, 0, 1, ry, -rx, 0): only the 6 entries over
+                    # rows {2,3,4} are nonzero — skip the other 15 (P,L)
+                    # products entirely (round 5 zero-structure cut)
+                    h = [[0.0] * 6 for _ in range(6)]
+                    yp_n = cn_p * ry
+                    h[2][2] = rsum(cn_p)
+                    h[2][3] = rsum(yp_n)
+                    h[2][4] = rsum(-cn_p * rx)
+                    h[3][3] = rsum(yp_n * ry)
+                    h[3][4] = rsum(-yp_n * rx)
+                    h[4][4] = rsum(cn_p * rx * rx)
                     h[0][0] += rsum(fac_p) + mass
                     h[1][1] += rsum(fac_p) + mass
                     h[2][2] += rsum(fac_p) + mass
@@ -782,7 +845,7 @@ def _rollout3d_kernel(
                     tk = eb <= e0
                     u = [jnp.where(tk, jnp.where(b12, u1[a], u2[a]), u[a])
                          for a in range(8)]
-                return tuple(u)
+                return tuple(u) + (jnp.float32(0.0),)
 
             # broad phase: finger contact impossible unless the object's
             # wy span can reach a finger surface (surface extrema precomputed
@@ -803,6 +866,10 @@ def _rollout3d_kernel(
             mf = any_f.astype(jnp.float32)
             cnt_f = cnt_f + mf
             cnt_c = cnt_c + (1.0 - mf)
+            # cnt_i accumulates full-solve NEWTON ITERATIONS (u[8]; equals
+            # cnt_f x newton_iters when newton_tol == 0) — the honest flop
+            # base for the roofline now that the solve is adaptive
+            cnt_i = cnt_i + u[8]
 
         # integrate
         px = px + dt * vx
@@ -821,7 +888,7 @@ def _rollout3d_kernel(
         ql = ql + dt * qdl
         qr = qr + dt * qdr
         return (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-                ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c)
+                ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c, cnt_i)
 
     def _travel_step(st):
         """Settled-travel fast path: the object is a static fixed point of
@@ -832,7 +899,7 @@ def _rollout3d_kernel(
         u_unc). Skips all (P, L) work: ~60-75% of a datagen squeeze is this
         phase (runs/calib/probe_settle.json)."""
         (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c) = st
+         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c, cnt_i) = st
         f_l = g.kp * (ctrl_l - ql) - g.joint_damping * qdl
         f_r = g.kp * (-ctrl_l - qr) - g.joint_damping * qdr
         qdl = qdl + dt * f_l * inv_fml
@@ -840,11 +907,11 @@ def _rollout3d_kernel(
         ql = ql + dt * qdl
         qr = qr + dt * qdr
         return (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-                ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c)
+                ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c, cnt_i)
 
     def step_body(i, st):
         (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c,
+         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c, cnt_i,
          spx, spy, sqw, sqz) = st
         if regrasp_every:
             rg = (i % regrasp_every == 0) & (i > 0)
@@ -893,10 +960,10 @@ def _rollout3d_kernel(
         travel = settled & (jnp.sum(maybe) == 0.0)
 
         dyn = (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-               ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c)
+               ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c, cnt_i)
         dyn = jax.lax.cond(travel, _travel_step, _normal_step, dyn)
         (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c) = dyn
+         ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c, cnt_i) = dyn
 
         take = (i + 1) == snapshot_step
         spx = jnp.where(take, px, spx)
@@ -904,13 +971,13 @@ def _rollout3d_kernel(
         sqw = jnp.where(take, qw, sqw)
         sqz = jnp.where(take, qz, sqz)
         return (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-                ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c,
+                ox, oy, oz, ql, qr, qdl, qdr, wyn, wyx, cnt_f, cnt_c, cnt_i,
                 spx, spy, sqw, sqz)
 
     state = jax.lax.fori_loop(0, steps, step_body, state)
     (px, py, pz, qw, qx, qy, qz, *_rest) = state
-    cnt_f, cnt_c = state[19], state[20]
-    spx, spy, sqw, sqz = state[21], state[22], state[23], state[24]
+    cnt_f, cnt_c, cnt_i = state[19], state[20], state[21]
+    spx, spy, sqw, sqz = state[22], state[23], state[24], state[25]
     if snapshot_step <= 0 or snapshot_step >= steps:
         spx, spy, sqw, sqz = px, py, qw, qz
 
@@ -943,6 +1010,7 @@ def _rollout3d_kernel(
     sdy_ref[0, 0, :] = (sorg_y - pose_y)[0, :]
     cfull_ref[0, 0, :] = cnt_f[0, :]
     ccheap_ref[0, 0, :] = cnt_c[0, :]
+    citer_ref[0, 0, :] = cnt_i[0, :]
 
 
 def profile_batch_pallas3d(*args, solver=None, **kwargs):
@@ -960,7 +1028,8 @@ def profile_batch_pallas3d(*args, solver=None, **kwargs):
     jax.jit,
     static_argnames=(
         "steps", "dt", "regrasp_every", "solver_iters", "ctrl_mag",
-        "snapshot_step", "solver", "return_step_mix",
+        "snapshot_step", "solver", "newton_iters", "newton_tol",
+        "return_step_mix",
     ),
 )
 def _profile_batch_pallas3d(
@@ -975,6 +1044,8 @@ def _profile_batch_pallas3d(
     ctrl_mag: float = SIM.ctrl_3d,
     snapshot_step: int = 0,
     solver: str = "jacobi",
+    newton_iters: int = NEWTON_KERNEL_ITERS3,
+    newton_tol: float = 0.0,
     return_step_mix: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     b, p = points.shape[0], points.shape[1]
@@ -986,16 +1057,18 @@ def _profile_batch_pallas3d(
         steps=steps, dt=dt, regrasp_every=regrasp_every,
         solver_iters=solver_iters, ctrl_mag=ctrl_mag,
         snapshot_step=snapshot_step, solver=solver,
+        newton_iters=newton_iters, newton_tol=newton_tol,
     )
     grid = (b, n // LANE)
     out_shape = [jax.ShapeDtypeStruct((b, 1, n), jnp.float32)
-                 for _ in range(11)]
+                 for _ in range(12)]
     out_specs = [
         pl.BlockSpec((1, 1, LANE), lambda i, j: (i, 0, j),
                      memory_space=pltpu.VMEM)
-        for _ in range(11)
+        for _ in range(12)
     ]
-    qw, qz, dpx, dpy, valid, sqw, sqz, sdx, sdy, cfull, ccheap = pl.pallas_call(
+    (qw, qz, dpx, dpy, valid, sqw, sqz, sdx, sdy,
+     cfull, ccheap, citer) = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -1029,10 +1102,11 @@ def _profile_batch_pallas3d(
     fpos = jnp.stack([dpx, dpy], axis=-1)
     if return_step_mix:
         # per-(pair, block) step-type counts, broadcast over lanes: full
-        # 8-DOF solves / cheap 6-DOF plane solves; travel fast-path steps
-        # = steps - full - cheap. The honest per-workload phase mix for
-        # the bench roofline (VERDICT r4 item 2).
-        mix = (cfull[:, 0, :], ccheap[:, 0, :])
+        # 8-DOF solves / cheap 6-DOF plane solves / total full-solve Newton
+        # iterations (= full x newton_iters when newton_tol == 0); travel
+        # fast-path steps = steps - full - cheap. The honest per-workload
+        # phase mix for the bench roofline (VERDICT r4 item 2).
+        mix = (cfull[:, 0, :], ccheap[:, 0, :], citer[:, 0, :])
         return dth, sdpos, theta_f, valid > 0.5, fpos, mix
     return dth, sdpos, theta_f, valid > 0.5, fpos
 

@@ -69,6 +69,11 @@ def main():
                     help="per-object contact sample count (r4: 192 measured "
                          "1.39x faster at statistically identical pooled "
                          "fidelity, runs/calib/probe_points_3d.json)")
+    ap.add_argument("--newton_iters", type=int,
+                    default=pallas3d.NEWTON_KERNEL_ITERS3,
+                    help="full-solve damped-Newton iterations to refit at "
+                         "(round-5 throughput sweep: 6 -> 4 is +26%%, "
+                         "6 -> 3 is +46%% rollouts/s)")
     args = ap.parse_args()
 
     d = np.load(os.path.join(OUT, "oracle3d_suite.npz"))
@@ -98,7 +103,8 @@ def main():
             **{k: jnp.float32(v) for k, v in vals.items()})
         coefs, points, scal = pallas3d.scene_arrays_3d(stacked, calib=calib)
         dth, _, _, valid, _ = pallas3d.profile_batch_pallas3d(
-            coefs, points, scal, poses, steps=steps, solver="newton")
+            coefs, points, scal, poses, steps=steps, solver="newton",
+            newton_iters=args.newton_iters)
         return np.asarray(dth)[:, : len(ths)]
 
     def score(en, case_idx=None):
@@ -168,6 +174,8 @@ def main():
                    "ratio": vr, "agree": va},
            "full": {"score": ft, "corr": fc, "ratio": fr, "agree": fa},
            "score": ft, "corr": fc, "ratio": fr, "agree": fa,
+           "newton_iters": args.newton_iters,
+           "num_points": args.num_points,
            "budget": args.budget + args.refine}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
