@@ -223,19 +223,44 @@ def main(argv=None):
         [o for o in args.objectives.split(",") if o]
         if args.objectives else list(GUIDED_OBJECTIVES)
     )
+    # fused design sweep: every (objective, object) pair except convergence
+    # rides ONE compiled program (objectives as data — the reference loops 12
+    # serial guided_sample calls, generator/diffusion.py:307-339)
+    import time as _time
+
+    sweep_samples = {}
+    sweep_names = [o for o in objectives if o != "convergence"]
+    if sweep_names:
+        obj_feats, s_weights, s_rsq, s_scales, s_labels = sampler.sweep_inputs(
+            cls_vars, sweep_names, obj_flats, args.fingers_3d
+        )
+        t0 = _time.perf_counter()
+        sweep_out = jax.block_until_ready(
+            sampler.sample_sweep(
+                ema_params, cls_vars, noise, obj_feats, s_weights, s_rsq,
+                s_scales,
+            )
+        )
+        sweep_seconds = _time.perf_counter() - t0
+        print(
+            f"design sweep: {len(s_labels)} (objective x object) pairs "
+            f"sampled in {sweep_seconds:.2f}s (incl. compile)", flush=True,
+        )
+        sweep_samples = {lab: sweep_out[i] for i, lab in enumerate(s_labels)}
     for objective in objectives:
         per_object = {}
         for oi, oid in enumerate(ids):
-            scale = jnp.asarray(GUIDANCE.scale(args.fingers_3d, objective))
-            centers = None
-            if objective == "convergence":
+            if (objective, oi) in sweep_samples:
+                samples = sweep_samples[(objective, oi)]
+            else:  # convergence: per-sample pose re-centering, serial path
                 centers = sampler.find_convergence_centers(
                     cls_vars, unguided, obj_flats[oi], thr0
                 )
-            samples = sampler.sample(
-                ema_params, cls_vars, noise, obj_flats[oi], objective,
-                scale, centers=centers,
-            )
+                samples = sampler.sample(
+                    ema_params, cls_vars, noise, obj_flats[oi], objective,
+                    jnp.asarray(GUIDANCE.scale(args.fingers_3d, objective)),
+                    centers=centers,
+                )
             metrics = sim_eval(samples, oi)
             te = table_entry(metrics, objective)
             per_object[str(oid)] = {
@@ -349,6 +374,11 @@ def main(argv=None):
             )
         report[objective] = entry
         print(f"objective {objective} done", flush=True)
+    if sweep_names:
+        report["design_sweep"] = {
+            "pairs": len(s_labels),
+            "seconds_incl_compile": sweep_seconds,
+        }
     with open(os.path.join(args.save_dir, "guided_report.json"), "w") as f:
         json.dump(report, f, indent=1, default=str)
 

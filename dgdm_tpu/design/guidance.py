@@ -210,6 +210,138 @@ class GuidedSampler2D:
         out, _ = jax.lax.scan(body, noise, (ts, pts))
         return out
 
+    def _sweep_grad(
+        self, cls_vars, x, t, obj_feats, weights, rsq, poses,
+        row_budget: int = 65536,
+    ) -> jnp.ndarray:
+        """d(sum objective)/dx for K fused (objective, object) pairs.
+
+        x (K, B, L, 1); obj_feats (K, W); weights (K, 3) linear objective
+        weights; rsq (K,) adds rsq_k * sum(delta_theta^2) (the 'rotate'
+        objective); poses (N, 3). The pose axis is lax.map-chunked so each
+        trunk call sees ~row_budget rows regardless of K."""
+        k, b, l, _ = x.shape
+        n = poses.shape[0]
+        w_feat = obj_feats.shape[-1]
+        max_chunk = max(1, row_budget // max(1, k * b))
+        # fewest chunks whose chunk size fits the row budget
+        chunks = min(
+            (c for c in range(1, n + 1)
+             if n % c == 0 and n // c <= max_chunk),
+            default=n,
+        )
+        chunk = n // chunks
+        poses_c = poses.reshape(chunks, chunk, 3)
+        t_resc = jnp.full((), t, jnp.float32) / self.num_train_timesteps
+
+        def chunk_objective(xf, pose_chunk):
+            c = pose_chunk.shape[0]
+            ctrl = jnp.broadcast_to(
+                xf[:, None], (k, c, b, l)).reshape(k * c * b, l)
+            ori = jnp.tile(jnp.repeat(pose_chunk[:, 0:1], b, axis=0), (k, 1))
+            pos = jnp.tile(jnp.repeat(pose_chunk[:, 1:3], b, axis=0), (k, 1))
+            feat = jnp.broadcast_to(
+                obj_feats[:, None, None], (k, c, b, w_feat)
+            ).reshape(k * c * b, w_feat)
+            tt = jnp.full((k * c * b,), t_resc)
+            deltas = self._trunk(cls_vars, ctrl, ori, pos, tt, feat)
+            deltas = deltas.reshape(k, c, b, 3)
+            lin = jnp.sum(weights[:, None, None, :] * deltas, axis=-1)
+            return jnp.sum(lin + rsq[:, None, None] * deltas[..., 0] ** 2)
+
+        def chunk_grad(pose_chunk):
+            return jax.grad(chunk_objective)(x[..., 0], pose_chunk)
+
+        grads = jax.lax.map(chunk_grad, poses_c)
+        return jnp.sum(grads, axis=0)[..., None]               # (K, B, L, 1)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def sample_sweep(
+        self,
+        unet_params,
+        cls_vars,
+        noise: jnp.ndarray,       # (B, L, 1) shared noise bank
+        obj_feats: jnp.ndarray,   # (K, W) encoded objects, one per pair
+        weights: jnp.ndarray,     # (K, 3) linear objective weights
+        rsq: jnp.ndarray,         # (K,) squared-rotation objective gate
+        scales: jnp.ndarray,      # (K,) guidance scales
+        ori_range: Tuple[float, float] = (-1.0, 1.0),
+    ) -> jnp.ndarray:
+        """Fused guided sampling over K (objective, object) pairs.
+
+        The production design run (reference guided_sample_2d.sh x
+        generator/diffusion.py:307-339: every objective x every test object)
+        is ONE compiled program here instead of K serial ``sample`` dispatches
+        (each a separate XLA program per objective): objectives ride as DATA
+        (linear delta weights + the squared-rotation gate), so the UNet runs
+        K*B-row batches and the classifier grad K*chunk*B-row batches per
+        denoise step. Returns (K, B, L, 1). 'convergence' (per-sample pose
+        re-centering) stays on the per-objective ``sample`` path."""
+        b = noise.shape[0]
+        k = obj_feats.shape[0]
+        poses = self._shard_poses(jnp.asarray(
+            pose_grid_normalized(self.grid_size, self.num_pos, ori_range)
+        ))
+        x0 = jnp.broadcast_to(noise[None], (k,) + noise.shape)
+        ts = jnp.asarray(
+            ddim.inference_timesteps(
+                self.num_train_timesteps, self.num_inference_steps
+            )
+        )
+        pts = jnp.asarray(
+            ddim.prev_timesteps(self.num_train_timesteps,
+                                self.num_inference_steps)
+        )
+
+        def body(x, tp):
+            t, pt = tp
+            tb = jnp.full((k * b,), t)
+            eps = self.unet.apply(
+                {"params": unet_params},
+                x.reshape(k * b, *x.shape[2:]), tb,
+            ).reshape(x.shape)
+            g = self._sweep_grad(cls_vars, x, t, obj_feats, weights, rsq,
+                                 poses)
+            abar = self.sched.alphas_cumprod[t]
+            eps = eps - jnp.sqrt(1.0 - abar) * g * scales[:, None, None, None]
+            return ddim.ddim_step(self.sched, eps, t, pt, x), None
+
+        out, _ = jax.lax.scan(body, x0, (ts, pts))
+        return out
+
+    def sweep_inputs(
+        self, cls_vars, objectives, obj_flats, fingers_3d: bool
+    ):
+        """Build (obj_feats, weights, rsq, scales, labels) for sample_sweep
+        from objective names x objects. Skips 'convergence' (structural,
+        needs per-sample centers); labels[i] = (objective, object_index)."""
+        from dgdm_tpu.core.config import GUIDANCE as _G
+        from dgdm_tpu.design.objectives import SIMPLE_OBJECTIVES
+
+        feats = jax.vmap(lambda o: self._encode_object(cls_vars, o))(
+            jnp.asarray(obj_flats)
+        )                                                      # (O, W)
+        labels, w_rows, r_rows, s_rows, f_rows = [], [], [], [], []
+        for name in objectives:
+            if name == "convergence":
+                continue
+            if name == "rotate":
+                w, r = np.zeros(3, np.float32), 1.0
+            else:
+                w = np.asarray(SIMPLE_OBJECTIVES[name](np.eye(3)),
+                               np.float32)
+                r = 0.0
+            s = float(_G.scale(fingers_3d, name))
+            for oi in range(feats.shape[0]):
+                labels.append((name, oi))
+                w_rows.append(w)
+                r_rows.append(r)
+                s_rows.append(s)
+                f_rows.append(feats[oi])
+        return (jnp.stack(f_rows), jnp.asarray(np.stack(w_rows)),
+                jnp.asarray(np.asarray(r_rows, np.float32)),
+                jnp.asarray(np.asarray(s_rows, np.float32)), labels)
+
     @functools.partial(jax.jit, static_argnames=("self", "objective"))
     def sample_multi_object(
         self,

@@ -104,6 +104,35 @@ def test_convergence_guidance_path(setup):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_sample_sweep_matches_serial(setup):
+    """The fused (objective x object) design sweep must reproduce the serial
+    per-objective sample() outputs (objectives ride as data, VERDICT r4 item
+    3). Convergence is excluded (stays serial by design)."""
+    from dgdm_tpu.core.config import GUIDANCE
+
+    sampler, unet_params, cls_vars = setup
+    noise = jax.random.normal(jax.random.PRNGKey(5), (2, 14, 1))
+    obj_flats = 0.03 * jax.random.normal(jax.random.PRNGKey(6), (2, 20))
+    names = ["rotate", "shift_up", "rotate_clockwise"]
+    obj_feats, weights, rsq, scales, labels = sampler.sweep_inputs(
+        cls_vars, names + ["convergence"], obj_flats, fingers_3d=False
+    )
+    assert len(labels) == 6  # convergence skipped
+    out = sampler.sample_sweep(
+        unet_params, cls_vars, noise, obj_feats, weights, rsq, scales
+    )
+    assert out.shape == (6, 2, 14, 1)
+    for i, (name, oi) in enumerate(labels):
+        serial = sampler.sample(
+            unet_params, cls_vars, noise, obj_flats[oi], name,
+            jnp.asarray(GUIDANCE.scale(False, name)),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(serial), atol=2e-4,
+            err_msg=f"pair {name} obj{oi}",
+        )
+
+
 class _LinearCls(nn.Module):
     """Analytic classifier: predicted delta_theta = ctrl . w (whitened units).
     Lets the cw/ccw symmetry of the WHOLE guidance chain be checked exactly."""
