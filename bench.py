@@ -480,6 +480,83 @@ def measure_guided3d(batch: int = 16, repeats: int = 3):
     return rate, _mxu_mfu(tf, rate / sampler.num_inference_steps)
 
 
+def measure_design_sweep(batch: int = 16, n_objects: int = 2):
+    """End-to-end design-run sampling throughput: EVERY non-convergence
+    objective x ``n_objects`` test objects in ONE fused program
+    (GuidedSampler.sample_sweep — objectives ride as data) vs the serial
+    per-objective dispatch loop the reference uses
+    (generator/diffusion.py:307-339, one guided_sample per objective).
+    Returns ``(pairs_per_sec, extra_dict)``; serial rate measured
+    steady-state on 3 representative objectives (each its own XLA program,
+    so the serial path ALSO pays one compile per objective in production —
+    not counted here)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgdm_tpu.core.config import GUIDED_OBJECTIVES
+    from dgdm_tpu.design.guidance import GuidedSampler
+    from dgdm_tpu.models.profile2d import ProfileForward2D
+    from dgdm_tpu.models.unet1d import ConditionalUnet1D
+
+    unet = ConditionalUnet1D(input_dim=1)
+    cls = ProfileForward2D()
+    noise = jax.random.normal(jax.random.PRNGKey(0), (batch, 14, 1))
+    unet_params = unet.init(
+        jax.random.PRNGKey(1), noise, jnp.zeros((batch,), jnp.int32)
+    )["params"]
+    cls_vars = cls.init(
+        jax.random.PRNGKey(2),
+        jnp.zeros((1, 14)), jnp.zeros((1, 1)), jnp.zeros((1, 2)),
+        jnp.zeros((1,)), jnp.zeros((1, 200)), train=False,
+    )
+    sampler = GuidedSampler(unet, cls)
+    obj_flats = (
+        jax.random.normal(jax.random.PRNGKey(3), (n_objects, 200)) * 0.03
+    )
+    names = [o for o in GUIDED_OBJECTIVES if o != "convergence"]
+    feats, weights, rsq, scales, labels = sampler.sweep_inputs(
+        cls_vars, names, obj_flats, fingers_3d=False
+    )
+
+    def run():
+        jax.block_until_ready(sampler.sample_sweep(
+            unet_params, cls_vars, noise, feats, weights, rsq, scales))
+
+    run()
+    t0 = time.time()
+    repeats = 2
+    for _ in range(repeats):
+        run()
+    pairs_per_sec = len(labels) * repeats / (time.time() - t0)
+
+    # serial reference: steady-state per-(objective, object) dispatches
+    ser_names = names[:3]
+    for nm in ser_names:  # compile
+        jax.block_until_ready(sampler.sample(
+            unet_params, cls_vars, noise, obj_flats[0], nm,
+            jnp.asarray(0.001)))
+    t0 = time.time()
+    ncalls = 0
+    for nm in ser_names:
+        for oi in range(n_objects):
+            jax.block_until_ready(sampler.sample(
+                unet_params, cls_vars, noise, obj_flats[oi], nm,
+                jnp.asarray(0.001)))
+            ncalls += 1
+    serial_pairs_per_sec = ncalls / (time.time() - t0)
+    tf = _compiled_tflops_per_call(
+        lambda n: sampler.sample_sweep(unet_params, cls_vars, n, feats,
+                                       weights, rsq, scales), noise)
+    mfu = _mxu_mfu(tf, pairs_per_sec / max(len(labels), 1))
+    return pairs_per_sec, {
+        "pairs": len(labels),
+        "serial_pairs_per_sec": round(serial_pairs_per_sec, 3),
+        "fused_speedup_vs_serial": round(
+            pairs_per_sec / serial_pairs_per_sec, 2),
+        **mfu,
+    }
+
+
 def measure_eval(batch: int = 16, num_rot: int = 384):
     """8,000-step re-grasp verification rollouts/sec (sim_test_mj schedule);
     returns ``(rate, step_mix)``."""
@@ -669,6 +746,15 @@ def main():
                      **mfu_g3})
     except Exception as e:
         print(json.dumps({"metric": "guided3d_denoise_steps_per_sec",
+                          "error": str(e)[:200]}), flush=True)
+    try:
+        rd, extra_d = measure_design_sweep()
+        _emit("design_sweep_pairs_per_sec", rd,
+              "fused (objective x object) guided design pairs/s "
+              "(11 objectives x 2 objects, one program)",
+              extra_d["fused_speedup_vs_serial"], extra=extra_d)
+    except Exception as e:
+        print(json.dumps({"metric": "design_sweep_pairs_per_sec",
                           "error": str(e)[:200]}), flush=True)
     try:
         re_, me_ = measure_eval()

@@ -1,0 +1,25 @@
+"""dgdm_tpu — TPU-native diffusion-guided gripper design framework.
+
+Persistent XLA compilation cache: every entry point (CLIs, demo scripts,
+bench) reuses compiled programs across processes — the 800-step rollout
+kernels cost O(minutes) to compile and identical shapes recur constantly
+(VERDICT r4 item 6: demo-scale runs were paying full recompiles that the
+bench had already amortized). Set JAX_COMPILATION_CACHE_DIR yourself to
+override; set it to the empty string to disable.
+"""
+
+import os as _os
+
+if _os.environ.get("JAX_COMPILATION_CACHE_DIR") != "":
+    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                           "/tmp/jax_cache_dgdm")
+    try:
+        # the env var is only read at jax import; cover the
+        # jax-imported-first case too
+        import jax as _jax
+
+        if _jax.config.jax_compilation_cache_dir is None:
+            _jax.config.update("jax_compilation_cache_dir",
+                               "/tmp/jax_cache_dgdm")
+    except Exception:  # pragma: no cover - jax always present in practice
+        pass

@@ -18,7 +18,6 @@ import numpy as np
 
 from dgdm_tpu.core.flags import build_parser
 from dgdm_tpu.geom.contour import extract_contours
-from dgdm_tpu.sim.datagen import generate_2d
 
 
 def load_icon(object_dir: str, idx: int) -> np.ndarray:
@@ -46,35 +45,41 @@ def main(argv=None):
     p.add_argument("--gripper_start", type=int, default=0)
     args = p.parse_args(argv)
 
+    # software-pipelined (sim/pipeline.py): bake of the next object's wave
+    # and the previous wave's npz writes hide under the current wave's
+    # device time — same npz output as the serial generate_2d path (tested)
+    from dgdm_tpu.sim.pipeline import pipeline_2d
+
+    def objects():
+        for oi in range(args.object_start,
+                        args.object_start + args.num_objects):
+            image = (load_icon(args.object_dir, oi) if args.object_dir
+                     else synthetic_icon(oi))
+            yield oi, extract_contours(image)
+
     total_pairs = 0
     t0 = time.time()
-    for oi in range(args.object_start, args.object_start + args.num_objects):
-        if args.object_dir:
-            image = load_icon(args.object_dir, oi)
-        else:
-            image = synthetic_icon(oi)
-        contour = extract_contours(image)
-        for g0 in range(
-            args.gripper_start, args.gripper_start + args.num_fingers,
-            args.pairs_per_batch,
-        ):
-            gidx = list(
-                range(g0, min(g0 + args.pairs_per_batch,
-                              args.gripper_start + args.num_fingers))
-            )
-            generate_2d(
-                oi, contour, gidx, save_dir=args.save_dir,
-                grid_size=args.grid_size, num_pos=args.num_pos,
-            )
-            total_pairs += len(gidx)
-            rate = total_pairs * args.grid_size * args.num_pos**2 / (
-                time.time() - t0
-            )
-            print(
-                f"object {oi} grippers {gidx[0]}..{gidx[-1]} done "
-                f"({rate:,.0f} rollouts/s cumulative)",
-                flush=True,
-            )
+    for g0 in range(
+        args.gripper_start, args.gripper_start + args.num_fingers,
+        args.pairs_per_batch,
+    ):
+        gidx = list(
+            range(g0, min(g0 + args.pairs_per_batch,
+                          args.gripper_start + args.num_fingers))
+        )
+        out = pipeline_2d(
+            list(objects()), gidx, save_dir=args.save_dir,
+            grid_size=args.grid_size, num_pos=args.num_pos,
+        )
+        total_pairs += out["pairs"]
+        rate = total_pairs * args.grid_size * args.num_pos**2 / (
+            time.time() - t0
+        )
+        print(
+            f"grippers {gidx[0]}..{gidx[-1]} x {args.num_objects} objects "
+            f"done ({rate:,.0f} rollouts/s cumulative)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -20,7 +20,6 @@ import numpy as np
 
 from dgdm_tpu.core.flags import build_parser
 from dgdm_tpu.geom import mesh3d
-from dgdm_tpu.sim.datagen3d import generate_3d
 
 
 def load_object_names(object_dir: str):
@@ -95,22 +94,28 @@ def main(argv=None):
             range(g0, min(g0 + args.pairs_per_batch,
                           args.gripper_start + args.num_fingers))
         )
+        # software-pipelined over objects (sim/pipeline.py): the next
+        # object's bake + the previous object's npz writes overlap this
+        # object's device waves — output-identical to generate_3d (tested)
+        from dgdm_tpu.sim.pipeline import pipeline_3d
+
+        items = []
         for oi in range(args.object_start,
                         args.object_start + args.num_objects):
             name, verts, faces = load_object(oi)
-            recs = generate_3d(
-                oi, name, verts, faces, gidx, save_dir=args.save_dir,
-                grid_size=args.grid_size, num_pos=args.num_pos,
-            )
-            done += len(gidx)
-            kept = sum(r is not None for r in recs)
-            rate = done * args.grid_size * args.num_pos**2 / (time.time() - t0)
-            print(
-                f"object {oi} ({name}) grippers {gidx[0]}..{gidx[-1]}: "
-                f"{kept}/{len(gidx)} kept (tip-over give-up), "
-                f"{rate:,.0f} rollouts/s cumulative",
-                flush=True,
-            )
+            items.append((oi, name, verts, faces))
+        out = pipeline_3d(
+            items, gidx, save_dir=args.save_dir,
+            grid_size=args.grid_size, num_pos=args.num_pos,
+        )
+        done += out["pairs"]
+        rate = done * args.grid_size * args.num_pos**2 / (time.time() - t0)
+        print(
+            f"grippers {gidx[0]}..{gidx[-1]} x {len(items)} objects: "
+            f"{out['pairs_valid']}/{out['pairs']} kept (tip-over give-up), "
+            f"{rate:,.0f} rollouts/s cumulative",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -35,6 +35,7 @@ def profile_pairs_2d(
     chunk: int = 1500,
     calib: Optional[engine2d.Calib] = None,
     use_pallas: bool = True,
+    block: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Run the full pose grid for a stacked scene batch.
 
@@ -42,7 +43,11 @@ def profile_pairs_2d(
     batch padded to a LANE multiple). Fallback / calibrated path: the pure-JAX
     engine, chunked to bound the live-intermediate footprint.
 
-    Returns dict with delta_theta (B, N), delta_pos (B, N, 2), final_theta."""
+    Returns dict with delta_theta (B, N), delta_pos (B, N, 2), final_theta.
+    With ``block=False`` the kernel is only DISPATCHED (JAX async): values
+    stay device-side (pose axis still padded) plus ``n`` — materialize with
+    ``fetch_pairs_2d``. This is what lets the production pipeline bake block
+    i+1 on the host while block i simulates (sim/pipeline.py)."""
     n = poses.shape[0]
     if jax.default_backend() != "tpu":
         use_pallas = False  # Mosaic kernels compile on TPU only
@@ -81,6 +86,9 @@ def profile_pairs_2d(
             dth, dpos, fth, _ = pallas2d.profile_batch_pallas(
                 *arrs, jnp.asarray(poses_p)
             )
+        if not block:
+            return {"delta_theta": dth, "delta_pos": dpos,
+                    "final_theta": fth, "n": n}
         return {
             "delta_theta": np.asarray(dth)[:, :n],
             "delta_pos": np.asarray(dpos)[:, :n],
@@ -91,12 +99,26 @@ def profile_pairs_2d(
     assert n % chunk == 0 or chunk >= n, (n, chunk)
     outs = []
     for lo in range(0, n, chunk):
-        block = jnp.asarray(poses[lo : lo + chunk])
-        outs.append(engine2d.profile_batch(scenes, block, calib=calib))
-    dth = np.concatenate([np.asarray(o[0]) for o in outs], axis=1)
-    dpos = np.concatenate([np.asarray(o[1]) for o in outs], axis=1)
-    fth = np.concatenate([np.asarray(o[2]) for o in outs], axis=1)
-    return {"delta_theta": dth, "delta_pos": dpos, "final_theta": fth}
+        pblock = jnp.asarray(poses[lo : lo + chunk])
+        outs.append(engine2d.profile_batch(scenes, pblock, calib=calib))
+    dth = jnp.concatenate([o[0] for o in outs], axis=1)
+    dpos = jnp.concatenate([o[1] for o in outs], axis=1)
+    fth = jnp.concatenate([o[2] for o in outs], axis=1)
+    if not block:
+        return {"delta_theta": dth, "delta_pos": dpos,
+                "final_theta": fth, "n": n}
+    return {"delta_theta": np.asarray(dth), "delta_pos": np.asarray(dpos),
+            "final_theta": np.asarray(fth)}
+
+
+def fetch_pairs_2d(res: Dict) -> Dict[str, np.ndarray]:
+    """Materialize a ``profile_pairs_2d(..., block=False)`` result."""
+    n = res["n"]
+    return {
+        "delta_theta": np.asarray(res["delta_theta"])[:, :n],
+        "delta_pos": np.asarray(res["delta_pos"])[:, :n],
+        "final_theta": np.asarray(res["final_theta"])[:, :n],
+    }
 
 
 def _curve_points(yl: np.ndarray, yr: np.ndarray) -> np.ndarray:

@@ -55,11 +55,15 @@ def profile_pairs_3d(
     steps: int = SIM.steps_3d,
     pose_chunk: int = 450,
     use_pallas: bool = True,
+    block: bool = True,
 ):
     """Full pose grid for a stacked 3D scene batch -> (dth, dpos, valid),
     each (B, N). Pairs dp-shard over the device mesh exactly like the 2D
     path (sim/datagen.py) — the reference fanned 3D out over Ray identically
-    (sim/run_sim_3d.sh)."""
+    (sim/run_sim_3d.sh). With ``block=False``, returns device-side
+    (dth, dpos, valid, n) right after dispatch (pose axis padded) so the
+    host can bake the next block while this one simulates; materialize via
+    ``fetch_pairs_3d``."""
     n = poses.shape[0]
     if jax.default_backend() != "tpu":
         use_pallas = False  # Mosaic kernels compile on TPU only
@@ -101,6 +105,8 @@ def profile_pairs_3d(
             o = pallas3d.profile_batch_pallas3d(
                 *arrs, jnp.asarray(poses_p), steps=steps
             )
+        if not block:
+            return (o[0], o[1], o[3], n)
         return (np.asarray(o[0])[:, :n], np.asarray(o[1])[:, :n],
                 np.asarray(o[3])[:, :n])
 
@@ -108,13 +114,24 @@ def profile_pairs_3d(
         stacked = meshlib.shard_batch(mesh, stacked, "dp")
     dth, dpos, valid = [], [], []
     for lo in range(0, n, pose_chunk):
-        block = jnp.asarray(poses[lo : lo + pose_chunk])
-        o = engine3d.profile_batch(stacked, block, steps=steps)
-        dth.append(np.asarray(o[0]))
-        dpos.append(np.asarray(o[1]))
-        valid.append(np.asarray(o[3]))
-    return (np.concatenate(dth, 1), np.concatenate(dpos, 1),
-            np.concatenate(valid, 1))
+        pblock = jnp.asarray(poses[lo : lo + pose_chunk])
+        o = engine3d.profile_batch(stacked, pblock, steps=steps)
+        dth.append(o[0])
+        dpos.append(o[1])
+        valid.append(o[3])
+    dth = jnp.concatenate(dth, 1)
+    dpos = jnp.concatenate(dpos, 1)
+    valid = jnp.concatenate(valid, 1)
+    if not block:
+        return (dth, dpos, valid, n)
+    return (np.asarray(dth), np.asarray(dpos), np.asarray(valid))
+
+
+def fetch_pairs_3d(res):
+    """Materialize a ``profile_pairs_3d(..., block=False)`` result."""
+    dth, dpos, valid, n = res
+    return (np.asarray(dth)[:, :n], np.asarray(dpos)[:, :n],
+            np.asarray(valid)[:, :n])
 
 
 def generate_3d(

@@ -27,7 +27,6 @@ from dgdm_tpu.geom.fingers import sample_gripper_3d
 from dgdm_tpu.geom import mesh3d
 from dgdm_tpu.models.profile3d import ProfileForward3D
 from dgdm_tpu.models.unet1d import ConditionalUnet1D
-from dgdm_tpu.sim.datagen3d import generate_3d
 from dgdm_tpu.train.data import normalize_record_3d, procedural_grippers
 from dgdm_tpu.train.dynamics import DynamicsTrainer
 from dgdm_tpu.train.generator import GeneratorTrainer
@@ -70,19 +69,26 @@ def main():
     summary = {}
 
     objects = demo_objects()
-    # ---- 3D datagen --------------------------------------------------------
+    # ---- 3D datagen (software-pipelined: bake of object i+1 + record
+    # assembly overlap object i's device waves, sim/pipeline.py) ------------
     t0 = time.time()
     records, clouds = [], []
-    for oi, (verts, faces) in enumerate(objects):
-        recs = generate_3d(
-            oi, f"demo{oi}", verts, faces, list(range(N_GRIPPERS)),
-            grid_size=40, num_pos=3,
-        )
-        pts = mesh3d.sample_surface(verts, faces, 512, seed=oi)
+    obj_pts = {oi: mesh3d.sample_surface(v, f, 512, seed=oi)
+               for oi, (v, f) in enumerate(objects)}
+
+    def on_records(oi, recs):
         for r in recs:
             if r is not None:
                 records.append(r)
-                clouds.append(pts)
+                clouds.append(obj_pts[oi])
+
+    from dgdm_tpu.sim.pipeline import pipeline_3d
+
+    pipeline_3d(
+        [(oi, f"demo{oi}", v, f) for oi, (v, f) in enumerate(objects)],
+        list(range(N_GRIPPERS)), grid_size=40, num_pos=3,
+        on_records=on_records,
+    )
     dg_time = time.time() - t0
     n_roll = len(records) * records[0]["obj_theta"].shape[0]
     summary["datagen"] = {

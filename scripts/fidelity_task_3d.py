@@ -59,7 +59,10 @@ EVAL_ROT = 48            # oracle-verification orientations per sample
 SAMPLE_GRID = 45         # guided_sample_3d.sh grid size
 
 
-def demo_objects():
+def demo_objects(n: int = 2):
+    """First two = the round-3 pair (box, hex prism) for comparability;
+    beyond that, the oracle suite's parameterized random objects
+    (build_oracle_suite3d.suite_object_3d) extend the set."""
     import importlib.util as ilu
 
     spec = ilu.spec_from_file_location(
@@ -67,10 +70,13 @@ def demo_objects():
                                 "build_oracle_suite3d.py"))
     m = ilu.module_from_spec(spec)
     spec.loader.exec_module(m)
-    return [
+    objs = [
         mesh3d.box_mesh(0.04, 0.05, 0.035, 0.035),
         m.prism_mesh(6, 0.05, 0.07, aspect=0.75),
     ]
+    for i in range(2, n):
+        objs.append(m.suite_object_3d(i + 100))
+    return objs[:n]
 
 
 def mj_records(verts, faces, gripper_indices, thetas, steps=800):
@@ -165,11 +171,20 @@ def oracle_eval_3d(samples, verts, faces, thetas, objective, steps=800):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--objects", type=int, default=2)
+    ap.add_argument("--grippers", type=int, default=N_GRIPPERS)
+    args = ap.parse_args()
+    n_grippers = args.grippers
+    val_grippers = max(1, n_grippers // 4)
+
     os.makedirs(OUT, exist_ok=True)
-    summary = {"config": {"objects": 2, "grippers": N_GRIPPERS,
-                          "val_grippers": VAL_GRIPPERS, "grid": GRID,
+    summary = {"config": {"objects": args.objects, "grippers": n_grippers,
+                          "val_grippers": val_grippers, "grid": GRID,
                           "eval_rot": EVAL_ROT, "samples": N_SAMPLES}}
-    objects = demo_objects()
+    objects = demo_objects(args.objects)
     thetas = np.asarray(pose_grid(grid_size=GRID, num_pos=1)[:, 2],
                         np.float32)
 
@@ -178,7 +193,7 @@ def main():
     rec_a = []
     for oi, (verts, faces) in enumerate(objects):
         rec_a += generate_3d(oi, f"fid{oi}", verts, faces,
-                             list(range(N_GRIPPERS)), grid_size=GRID,
+                             list(range(n_grippers)), grid_size=GRID,
                              num_pos=1)
     summary["engine_datagen_seconds"] = time.time() - t0
     print("engine datagen done", summary["engine_datagen_seconds"], flush=True)
@@ -187,7 +202,7 @@ def main():
     t0 = time.time()
     rec_b = []
     for oi, (verts, faces) in enumerate(objects):
-        rec_b += mj_records(verts, faces, list(range(N_GRIPPERS)), thetas)
+        rec_b += mj_records(verts, faces, list(range(n_grippers)), thetas)
         print(f"mj object {oi} done {time.time()-t0:.0f}s", flush=True)
     summary["mujoco_datagen_seconds"] = time.time() - t0
 
@@ -197,7 +212,22 @@ def main():
     summary["pairs_kept"] = {"total": len(rec_a), "kept": len(keep),
                              "engine_gaveup": sum(r is None for r in rec_a),
                              "mujoco_gaveup": sum(r is None for r in rec_b)}
-    print("pairs:", summary["pairs_kept"], flush=True)
+    # tip-over agreement on the SAME pairs (VERDICT r4 weak 7: if the engine
+    # tips objects MuJoCo wouldn't, the 3D dataset is silently biased;
+    # reference give-up: sim/sim_3d.py:159-161). mj_records short-circuits
+    # on the first tipped theta, so masks compare per-pair give-up decisions.
+    ge = np.array([r is None for r in rec_a])
+    gm = np.array([r is None for r in rec_b])
+    both = int((ge & gm).sum())
+    summary["tipover"] = {
+        "engine_gaveup_pairs": np.where(ge)[0].tolist(),
+        "mujoco_gaveup_pairs": np.where(gm)[0].tolist(),
+        "agree_frac": float((ge == gm).mean()),
+        "engine_only": int((ge & ~gm).sum()),
+        "mujoco_only": int((~ge & gm).sum()),
+        "both": both,
+    }
+    print("pairs:", summary["pairs_kept"], summary["tipover"], flush=True)
 
     da = np.stack([rec_a[i]["delta_theta"] for i in keep])
     db = np.stack([rec_b[i]["delta_theta"] for i in keep])
@@ -217,12 +247,14 @@ def main():
     def rows_of(recs, idxs):
         out = []
         for i in idxs:
-            oi = i // N_GRIPPERS
+            oi = i // n_grippers
             out.append(normalize_record_3d(recs[i], clouds[oi]))
         return out
 
-    tr_idx = [i for i in keep if i % N_GRIPPERS < N_GRIPPERS - VAL_GRIPPERS]
-    va_idx = [i for i in keep if i % N_GRIPPERS >= N_GRIPPERS - VAL_GRIPPERS]
+    tr_idx = [i for i in keep
+              if i % n_grippers < n_grippers - val_grippers]
+    va_idx = [i for i in keep
+              if i % n_grippers >= n_grippers - val_grippers]
     tra = rows_of(rec_a, tr_idx)
     trb = rows_of(rec_b, tr_idx)
     vab = rows_of(rec_b, va_idx)
