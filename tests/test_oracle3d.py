@@ -22,7 +22,8 @@ from dgdm_tpu.sim import engine3d
 SUITE = os.path.join(os.path.dirname(__file__), "..", "runs", "calib",
                      "oracle3d_suite.npz")
 # fixed signal-rich subset (runtime budget: ~20 s CPU for 96 x 800-step
-# Newton rollouts); measured corr/ratio/agree = 0.613 / 0.872 / 0.792
+# Newton rollouts); measured at the shipped r5 calibration (192 pt /
+# NIT=3): corr/ratio/agree = 0.791 / 1.232 / 0.833
 CASES = (0, 1, 3, 8, 9, 21)
 
 
@@ -69,7 +70,7 @@ def test_engine3d_suite_fidelity():
         verts = d["verts"][i][: d["nv"][i]].astype(np.float64)
         faces = d["faces"][i][: d["nf"][i]]
         scenes.append(engine3d.make_scene(d["yl"][i], d["yr"][i], verts,
-                                          faces, num_points=256))
+                                          faces, num_points=192))
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
     poses = jnp.asarray(np.stack([0 * ths, 0 * ths, ths], -1), jnp.float32)
     en = np.asarray(engine3d.profile_batch(stacked, poses, steps=steps)[0])
@@ -88,12 +89,12 @@ def test_engine3d_suite_fidelity():
             ratios.append(e.std() / t.std())
     corr, ratio, agree = np.mean(corrs), np.median(ratios), np.mean(agrees)
     assert np.isfinite(en).all()
-    # measured r3b (envelope contact + held-out refit, these 6 cases):
-    # corr 0.745 / ratio 1.179 / agree 0.865 — full-suite kernel numbers
-    # 0.705 / 0.963 / 0.791 (runs/calib/calib3d_search_r3b.json)
-    assert corr > 0.62, f"suite corr regressed: {corr:.3f} (was 0.745)"
-    assert 0.8 < ratio < 1.5, f"magnitude regressed: {ratio:.3f} (was 1.179)"
-    assert agree > 0.75, f"class agreement regressed: {agree:.3f} (was 0.865)"
+    # measured r5 (envelope contact + held-out NIT=3/192-pt refit, these 6
+    # cases): corr 0.791 / ratio 1.232 / agree 0.833 — full-suite kernel
+    # numbers 0.709 / 0.947 / 0.783 (runs/calib/calib3d_search_nit3_p192)
+    assert corr > 0.62, f"suite corr regressed: {corr:.3f} (was 0.791)"
+    assert 0.8 < ratio < 1.5, f"magnitude regressed: {ratio:.3f} (was 1.232)"
+    assert agree > 0.75, f"class agreement regressed: {agree:.3f} (was 0.833)"
 
 
 @pytest.mark.slow
@@ -103,10 +104,12 @@ def test_heldout_val_corr_floor_3d():
     calibration search's RandomState(7) first-third split and per-case
     scoring (scripts/search_calib_3d.py:122-124,100-115) through the
     pure-JAX engine (kernel parity is tested separately in
-    tests/test_pallas3d.py). The shipped r4 fit measures val corr 0.757
-    on the kernel (runs/calib/calib3d_search_r4.json: val.corr); the
-    floor of 0.62 absorbs engine-vs-kernel and solver drift while still
-    catching any recalibration that trades held-out correlation away."""
+    tests/test_pallas3d.py). The shipped r5 fit (192 points / NIT=3)
+    measures val corr 0.762 on the kernel
+    (runs/calib/calib3d_search_nit3_p192.json: val.corr); the floor of
+    0.62 absorbs engine-vs-kernel and solver drift while still catching
+    any recalibration that trades held-out correlation away (the 128-pt
+    refit's 0.613 would fail it, as intended)."""
     d = np.load(SUITE)
     target = d["delta_theta_s12"]
     mask = d["upright_s12"].astype(bool)
@@ -121,7 +124,7 @@ def test_heldout_val_corr_floor_3d():
         verts = d["verts"][i][: d["nv"][i]].astype(np.float64)
         faces = d["faces"][i][: d["nf"][i]]
         scenes.append(engine3d.make_scene(d["yl"][i], d["yr"][i], verts,
-                                          faces, num_points=256))
+                                          faces, num_points=192))
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
     poses = jnp.asarray(np.stack([0 * ths, 0 * ths, ths], -1), jnp.float32)
     en = np.asarray(engine3d.profile_batch(stacked, poses, steps=steps)[0])
@@ -139,5 +142,6 @@ def test_heldout_val_corr_floor_3d():
     assert np.isfinite(en).all()
     assert val_corr >= 0.62, (
         f"held-out val corr regressed: {val_corr:.3f} "
-        "(shipped r4 fit: 0.757, runs/calib/calib3d_search_r4.json)"
+        "(shipped r5 fit: 0.712 engine / 0.762 kernel, "
+        "runs/calib/calib3d_search_nit3_p192.json)"
     )
