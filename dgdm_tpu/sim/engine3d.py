@@ -65,26 +65,29 @@ CONTACT_SURFACE_3D = "envelope"
 # --refine 60) against the 30-case prism-oracle suite scored vs the
 # 12x2-decomposition sim the engine models exactly (envelope contact,
 # geom/envelope3d.py). Round 5 refit at the shipped kernel config
-# (num_points=192, newton_iters=3 — 1.45x the NIT6 throughput;
-# runs/calib/calib3d_search_nit3_p192.json): full-suite corr 0.709 /
-# ratio 0.947 / agree 0.783, held-out val corr 0.762 — at or above the
-# round-3b NIT6 fit (0.705/0.963/0.791, val 0.659). The faster 128-point
-# refit was REJECTED on fidelity (calib3d_search_nit3_p128.json: full
-# corr 0.623, val 0.613 < the 0.62 CI floor).
+# (num_points=192, newton_iters=1 — 2.11x the NIT6 throughput;
+# runs/calib/calib3d_search_nit1_p192.json): full-suite corr 0.697 /
+# ratio 0.978 / agree 0.783, held-out val corr 0.768 — at the round-3b
+# NIT6 fit's statistics (0.705/0.963/0.791, val 0.659). NIT=3 and NIT=2
+# refits land in the same band (corr 0.709/0.702 — calib3d_search_nit
+# {3,2}_p192.json): truncation is absorbed by the calibration, so the
+# fastest count ships. The faster 128-point refit was REJECTED on
+# fidelity (calib3d_search_nit3_p128.json: full corr 0.623, val 0.613 <
+# the 0.62 CI floor).
 FITTED_3D_NEWTON = {
-    "mu_plane": 0.4603067330131122,
-    "mu_finger": 0.3288717778925691,
+    "mu_plane": 0.1098595585158766,
+    "mu_finger": 0.16985552065762255,
     # NOTE: mu_torsion is INERT in the 3D Newton path — torsional plane
     # friction (oracle condim=4) is supplied implicitly by the multi-point
     # patch contacts, and neither engine3d nor pallas3d reads calib.mu_torsion
     # in the Newton solve. The value below is a fitted no-op retained for
     # Calib-struct compatibility; it is excluded from the calibration search.
     "mu_torsion": 0.00458153,
-    "k_contact": 19721.410750170468,
-    "b_contact": 173.51873366265522,
-    "unload": 0.13035039256303962,
-    "rough": 102.3317888168621,
-    "c_r": 0.273786669587303,
+    "k_contact": 15724.569062772094,
+    "b_contact": 115.80794925673753,
+    "unload": 2.702276478255927,
+    "rough": 126.34874804571092,
+    "c_r": 0.3690845085780728,
 }
 
 
@@ -613,11 +616,12 @@ def step_jacobi3(
     return new
 
 
-# Round 5: 6 -> 3 full-solve iterations, recalibrated held-out at the
-# shipped kernel config (FITTED_3D_NEWTON note above) — +45% kernel
-# rollouts/s at full-suite corr 0.709 vs 0.705 (the engine path mirrors
-# the kernel so both see the SAME fitted dynamics).
-NEWTON_ITERS3 = 3
+# Round 5: 6 -> 1 full-solve iterations, recalibrated held-out at the
+# shipped kernel config (FITTED_3D_NEWTON note above) — 2.11x kernel
+# rollouts/s at full-suite corr 0.697 / val 0.768 vs 0.705 / 0.659 (the
+# engine path mirrors the kernel so both see the SAME fitted dynamics;
+# the no-finger-contact plane subproblem keeps its 3 iterations in both).
+NEWTON_ITERS3 = 1
 _LS_ALPHAS3 = (1.0, 0.5)
 
 
@@ -902,7 +906,10 @@ def step_newton3(
         u2, _ = newton_iter(u, None)
         return jnp.where(i < nit, u2, u), None
 
-    u, _ = jax.lax.scan(body, u_unc, jnp.arange(NEWTON_ITERS3))
+    # scan length covers BOTH regimes: full solves run NEWTON_ITERS3
+    # iterations, the no-finger-contact plane subproblem always gets 3
+    # (matching the kernel's fixed range(3) cheap path)
+    u, _ = jax.lax.scan(body, u_unc, jnp.arange(max(NEWTON_ITERS3, 3)))
     vel, om, qd = u[:3], u[3:6], u[6:]
 
     if return_diag:
@@ -1153,7 +1160,7 @@ def step_newton3_pyramid(
         u2, _ = newton_iter(u, None)
         return jnp.where(i < nit, u2, u), None
 
-    u, _ = jax.lax.scan(body, u_unc, jnp.arange(NEWTON_ITERS3))
+    u, _ = jax.lax.scan(body, u_unc, jnp.arange(max(NEWTON_ITERS3, 3)))
     vel, om, qd = u[:3], u[3:6], u[6:]
 
     new = State3D(

@@ -33,15 +33,18 @@ from dgdm_tpu.sim.surface_fit import (
 LANE = 128
 # full-solve damped-Newton iterations (matches engine3d.NEWTON_ITERS3).
 # Round 3 measured NIT=5 WITHOUT refitting as a bad trade (ratio 0.963 ->
-# 0.843); round 5 instead re-ran the held-out calibration search AT the
-# reduced count (scripts/search_calib_3d.py --newton_iters 3): the refit
-# recovers full-suite corr 0.709 / val 0.762 (vs 0.705/0.659 at NIT=6,
-# runs/calib/calib3d_search_nit3_p192.json) at 1.45x the rollouts/s —
-# the solver truncation error is absorbable by the contact calibration,
-# the NIT=6 default was paying for accuracy the fit can re-express. 128
-# contact points (2.14x) was tried the same way and REJECTED: the refit
-# only reaches corr 0.623 / val 0.613 (calib3d_search_nit3_p128.json).
-NEWTON_KERNEL_ITERS3 = 3
+# 0.843); round 5 instead re-ran the held-out calibration search AT each
+# reduced count (scripts/search_calib_3d.py --newton_iters N,
+# runs/calib/calib3d_search_nit{3,2,1}_p192.json): every refit holds the
+# full-suite statistics of the retired NIT=6 fit (corr 0.697-0.709 vs
+# 0.705; val 0.760-0.768 vs 0.659) — at this dt the contact calibration
+# fully absorbs Newton truncation, so the fastest count ships:
+# NIT=1 = 31.6k rollouts/s vs 15.0k at NIT=6 (2.11x). The line-searched
+# single step stays stable on impacts (the damped candidate set includes
+# u itself). 128 contact points was tried the same way and REJECTED: its
+# refit only reaches corr 0.623 / val 0.613 (calib3d_search_nit3_p128);
+# task-level insurance for the shipped config: runs/fidelity_task3d.
+NEWTON_KERNEL_ITERS3 = 1
 # settled-travel fast-path gate: post-solve velocity magnitude below which
 # the object counts as statically supported (measured travel-phase residual
 # ~2e-6 m/s; drop/grip transients are 5e-2..5e-1 — 3+ decades of separation,

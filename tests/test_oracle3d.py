@@ -23,7 +23,7 @@ SUITE = os.path.join(os.path.dirname(__file__), "..", "runs", "calib",
                      "oracle3d_suite.npz")
 # fixed signal-rich subset (runtime budget: ~20 s CPU for 96 x 800-step
 # Newton rollouts); measured at the shipped r5 calibration (192 pt /
-# NIT=3): corr/ratio/agree = 0.791 / 1.232 / 0.833
+# NIT=1): corr/ratio/agree = 0.790 / 1.139 / 0.802
 CASES = (0, 1, 3, 8, 9, 21)
 
 
@@ -89,12 +89,12 @@ def test_engine3d_suite_fidelity():
             ratios.append(e.std() / t.std())
     corr, ratio, agree = np.mean(corrs), np.median(ratios), np.mean(agrees)
     assert np.isfinite(en).all()
-    # measured r5 (envelope contact + held-out NIT=3/192-pt refit, these 6
-    # cases): corr 0.791 / ratio 1.232 / agree 0.833 — full-suite kernel
-    # numbers 0.709 / 0.947 / 0.783 (runs/calib/calib3d_search_nit3_p192)
-    assert corr > 0.62, f"suite corr regressed: {corr:.3f} (was 0.791)"
-    assert 0.8 < ratio < 1.5, f"magnitude regressed: {ratio:.3f} (was 1.232)"
-    assert agree > 0.75, f"class agreement regressed: {agree:.3f} (was 0.833)"
+    # measured r5 (envelope contact + held-out NIT=1/192-pt refit, these 6
+    # cases): corr 0.790 / ratio 1.139 / agree 0.802 — full-suite kernel
+    # numbers 0.697 / 0.978 / 0.783 (runs/calib/calib3d_search_nit1_p192)
+    assert corr > 0.62, f"suite corr regressed: {corr:.3f} (was 0.790)"
+    assert 0.8 < ratio < 1.5, f"magnitude regressed: {ratio:.3f} (was 1.139)"
+    assert agree > 0.75, f"class agreement regressed: {agree:.3f} (was 0.802)"
 
 
 @pytest.mark.slow
@@ -104,9 +104,9 @@ def test_heldout_val_corr_floor_3d():
     calibration search's RandomState(7) first-third split and per-case
     scoring (scripts/search_calib_3d.py:122-124,100-115) through the
     pure-JAX engine (kernel parity is tested separately in
-    tests/test_pallas3d.py). The shipped r5 fit (192 points / NIT=3)
-    measures val corr 0.762 on the kernel
-    (runs/calib/calib3d_search_nit3_p192.json: val.corr); the floor of
+    tests/test_pallas3d.py). The shipped r5 fit (192 points / NIT=1)
+    measures val corr 0.768 on the kernel
+    (runs/calib/calib3d_search_nit1_p192.json: val.corr); the floor of
     0.62 absorbs engine-vs-kernel and solver drift while still catching
     any recalibration that trades held-out correlation away (the 128-pt
     refit's 0.613 would fail it, as intended)."""
@@ -142,6 +142,6 @@ def test_heldout_val_corr_floor_3d():
     assert np.isfinite(en).all()
     assert val_corr >= 0.62, (
         f"held-out val corr regressed: {val_corr:.3f} "
-        "(shipped r5 fit: 0.712 engine / 0.762 kernel, "
-        "runs/calib/calib3d_search_nit3_p192.json)"
+        "(shipped r5 fit: 0.769 engine / 0.768 kernel, "
+        "runs/calib/calib3d_search_nit1_p192.json)"
     )
