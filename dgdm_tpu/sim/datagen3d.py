@@ -11,6 +11,7 @@ all-or-nothing npz output.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict, List, Optional, Sequence
 
@@ -25,10 +26,13 @@ from dgdm_tpu.sim import engine3d
 from dgdm_tpu.sim.engine2d import pose_grid
 
 
-def surface_points_3d(yl: np.ndarray, yr: np.ndarray,
-                      sample_size: int = 25) -> np.ndarray:
-    """Reference `allpts`: both finger surfaces evaluated on the geomdl grid
-    (assets/finger_3d.py:59-67): (2 * sample_size^2, 3)."""
+@functools.lru_cache(maxsize=4)
+def _surface_grid_const(sample_size: int):
+    """Gripper-independent pieces of :func:`surface_points_3d` — the basis
+    operator and the geomdl grid x/z lattices — as HOST numpy. Round 5:
+    these were rebuilt per gripper through eager device dispatch (~9 s each
+    over the tunnel), which alone accounted for 421 s of the 425 s demo3d
+    datagen stage (scripts/probe_demo3d_rate.py)."""
     g = GRIPPER_3D
     surf = gripper3d_surface()
     basis = np.asarray(surf.grid_basis(sample_size))
@@ -42,6 +46,14 @@ def surface_points_3d(yl: np.ndarray, yr: np.ndarray,
     zs = bv @ np.linspace(g.ctrl_z_min, g.ctrl_z_max, g.nv)
     xg = np.repeat(xs, sample_size)
     zg = np.tile(zs, sample_size)
+    return basis, xg, zg
+
+
+def surface_points_3d(yl: np.ndarray, yr: np.ndarray,
+                      sample_size: int = 25) -> np.ndarray:
+    """Reference `allpts`: both finger surfaces evaluated on the geomdl grid
+    (assets/finger_3d.py:59-67): (2 * sample_size^2, 3)."""
+    basis, xg, zg = _surface_grid_const(sample_size)
     out = []
     for y in (yl, yr):
         yg = basis @ np.asarray(y).reshape(-1)

@@ -210,7 +210,9 @@ def _bilerp(grid: jnp.ndarray, x: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     j0 = jnp.clip(fz.astype(jnp.int32), 0, HGRID_W - 2)
     wx = (fx - i0)[:, None]
     wz = (fz - j0)[:, None]
-    flat = grid.reshape(-1, 3)
+    # jnp view: scenes now carry host-numpy leaves, and numpy arrays cannot
+    # be fancy-indexed by tracers when the grid enters a trace as a constant
+    flat = jnp.asarray(grid).reshape(-1, 3)
     idx = i0 * HGRID_W + j0
     g00 = flat[idx]
     g01 = flat[idx + 1]
@@ -319,7 +321,13 @@ def make_scene(
         corner_w = corner_weights_3d(np.asarray(pts))
     else:
         mass, com, inertia, pts, corner_w = obj_props
-    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    # HOST numpy leaves: scenes are built in host loops and batched with
+    # np.stack before one device transfer of the stacked arrays
+    # (sim/pipeline.py, datagen3d.profile_pairs_3d). Device leaves here cost
+    # 11 eager tunnel round-trips per scene at build + one pull per leaf at
+    # stack time (~15 s per 48-scene wave, scripts/probe_demo3d_rate.py).
+    # jit/vmap consumers accept numpy inputs unchanged.
+    f32 = functools.partial(np.asarray, dtype=np.float32)
     return Scene3D(
         yl=f32(np.asarray(yl).reshape(g.nu, g.nv)),
         yr=f32(np.asarray(yr).reshape(g.nu, g.nv)),
